@@ -1,0 +1,277 @@
+"""Diffusion noise schedules as pure functions — TPU-native design.
+
+Replaces the reference's stateful diffusers schedulers
+(`DDPMScheduler` used at /root/reference/train.py:479-484 and
+`DPMSolverMultistepScheduler` used at /root/reference/models/infer.py:39-40,
+98-119) with closed-form alpha-bar arithmetic and a *statically precomputed*
+DPM-Solver++(2M) update:
+
+Because every inference run fixes the number of solver steps up front, all
+per-step solver quantities (sigmas, log-SNR gaps, multistep mixing weights)
+are plain numpy scalars computed on the host.  Each solver step then reduces
+to a static linear combination
+
+    x_{t-1} = a_i * x_t + b_i * m_i + c_i * m_{i-1}
+
+of the current latent and the current/previous x0-predictions — ideal for
+`lax.scan`: no data-dependent control flow, no gather over schedule tables,
+nothing for XLA to re-derive per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["DDPMSchedule", "DPMSolverMultistep", "make_sd15_schedule"]
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    """Closed-form forward-diffusion schedule.
+
+    Mirrors the semantics of DDPMScheduler.add_noise as exercised at
+    /root/reference/train.py:479-484 (epsilon-prediction training), holding
+    only the cumulative-product table; everything else is derived.
+    """
+
+    num_train_timesteps: int
+    alphas_cumprod: np.ndarray  # (T,) float64 on host
+    beta_start: float
+    beta_end: float
+    beta_schedule: str
+    prediction_type: str = "epsilon"
+    steps_offset: int = 1
+
+    @staticmethod
+    def create(
+        num_train_timesteps: int = 1000,
+        beta_start: float = 0.00085,
+        beta_end: float = 0.012,
+        beta_schedule: str = "scaled_linear",
+        prediction_type: str = "epsilon",
+        steps_offset: int = 1,
+    ) -> "DDPMSchedule":
+        if beta_schedule == "scaled_linear":
+            betas = (
+                np.linspace(
+                    beta_start**0.5, beta_end**0.5, num_train_timesteps, dtype=np.float64
+                )
+                ** 2
+            )
+        elif beta_schedule == "linear":
+            betas = np.linspace(beta_start, beta_end, num_train_timesteps, dtype=np.float64)
+        elif beta_schedule == "squaredcos_cap_v2":
+            t = np.arange(num_train_timesteps + 1, dtype=np.float64) / num_train_timesteps
+
+            def f(x):
+                return np.cos((x + 0.008) / 1.008 * np.pi / 2) ** 2
+
+            betas = np.clip(1.0 - f(t[1:]) / f(t[:-1]), 0.0, 0.999)
+        else:
+            raise ValueError(f"unknown beta_schedule: {beta_schedule}")
+        alphas_cumprod = np.cumprod(1.0 - betas)
+        return DDPMSchedule(
+            num_train_timesteps=num_train_timesteps,
+            alphas_cumprod=alphas_cumprod,
+            beta_start=beta_start,
+            beta_end=beta_end,
+            beta_schedule=beta_schedule,
+            prediction_type=prediction_type,
+            steps_offset=steps_offset,
+        )
+
+    # device-side tables ---------------------------------------------------
+    @property
+    def sqrt_alphas_cumprod(self) -> jnp.ndarray:
+        return jnp.asarray(np.sqrt(self.alphas_cumprod), dtype=jnp.float32)
+
+    @property
+    def sqrt_one_minus_alphas_cumprod(self) -> jnp.ndarray:
+        return jnp.asarray(np.sqrt(1.0 - self.alphas_cumprod), dtype=jnp.float32)
+
+    def add_noise(
+        self, sample: jnp.ndarray, noise: jnp.ndarray, timesteps: jnp.ndarray
+    ) -> jnp.ndarray:
+        """noisy = sqrt(abar_t) * x0 + sqrt(1 - abar_t) * eps (broadcast over batch)."""
+        a = self.sqrt_alphas_cumprod[timesteps].astype(sample.dtype)
+        s = self.sqrt_one_minus_alphas_cumprod[timesteps].astype(sample.dtype)
+        extra = sample.ndim - a.ndim
+        a = a.reshape(a.shape + (1,) * extra)
+        s = s.reshape(s.shape + (1,) * extra)
+        return a * sample + s * noise
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverMultistep:
+    """DPM-Solver++(2M) with all per-step math precomputed on the host.
+
+    Semantics match the reference inference sampler (DPM-Solver++ multistep,
+    order 2, midpoint, lower-order-final, linspace timestep spacing, final
+    sigma zero) instantiated at /root/reference/models/infer.py:39-40.
+    `init_noise_sigma` is 1 and `scale_model_input` is the identity for this
+    solver family, so neither appears here.
+
+    Per step i the update is  x <- a[i]*x + b[i]*m + c[i]*m_prev,  where
+    m = x0-prediction at step i, itself the static affine map
+    m = (x - eps_coef[i]*eps) * x0_scale[i] of the model's epsilon output.
+    """
+
+    timesteps: np.ndarray  # (N,) int — descending train-timestep indices
+    sigmas: np.ndarray  # (N+1,) float — sigma per step, last entry 0
+    a: np.ndarray  # (N,) carry coefficient on x
+    b: np.ndarray  # (N,) coefficient on current x0-pred
+    c: np.ndarray  # (N,) coefficient on previous x0-pred
+    eps_coef: np.ndarray  # (N,) sigma_t for x0 conversion
+    x0_scale: np.ndarray  # (N,) 1/alpha_t for x0 conversion
+    init_noise_sigma: float = 1.0
+
+    @staticmethod
+    def create(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+        solver_order: int = 2,
+        lower_order_final: bool = True,
+    ) -> "DPMSolverMultistep":
+        T = schedule.num_train_timesteps
+        # linspace spacing, matching the reference sampler's timestep grid.
+        timesteps = (
+            np.linspace(0, T - 1, num_inference_steps + 1)
+            .round()[::-1][:-1]
+            .astype(np.int64)
+        )
+        abar = schedule.alphas_cumprod
+        sigmas_full = np.sqrt((1.0 - abar) / abar)
+        sigmas = np.interp(timesteps.astype(np.float64), np.arange(T), sigmas_full)
+        sigmas = np.concatenate([sigmas, [0.0]])  # final_sigmas_type == "zero"
+
+        def split(sig):
+            alpha_t = 1.0 / np.sqrt(sig**2 + 1.0)
+            sigma_t = sig * alpha_t
+            return alpha_t, sigma_t
+
+        N = num_inference_steps
+        a = np.zeros(N)
+        b = np.zeros(N)
+        c = np.zeros(N)
+        eps_coef = np.zeros(N)
+        x0_scale = np.zeros(N)
+
+        lower_order_nums = 0
+        for i in range(N):
+            sigma_s0 = sigmas[i]
+            sigma_t = sigmas[i + 1]
+            alpha_s0, sig_s0 = split(sigma_s0)
+            alpha_t, sig_t = split(sigma_t)
+            # x0 conversion coefficients at the *current* step
+            eps_coef[i] = sig_s0
+            x0_scale[i] = 1.0 / alpha_s0
+
+            # first-order fallbacks, matching the reference sampler: warmup
+            # step, final step whenever the final sigma is zero, and the last
+            # two steps of short (<15) schedules under lower_order_final.
+            use_first_order = (
+                solver_order == 1
+                or lower_order_nums < 1
+                or (i == N - 1)  # final sigma is always zero here
+                or (lower_order_final and i == N - 2 and N < 15)
+            )
+
+            if sigma_t == 0.0:
+                # exact limit: lambda_t -> inf, exp(-h) -> 0, and first order
+                # is forced above, so x_t = x0-prediction exactly.
+                a[i], b[i], c[i] = 0.0, 1.0, 0.0
+            else:
+                lam_t = np.log(alpha_t / sig_t)
+                lam_s0 = np.log(alpha_s0 / sig_s0)
+                h = lam_t - lam_s0
+                em1 = np.expm1(-h)  # exp(-h) - 1
+                if use_first_order:
+                    a[i] = sig_t / sig_s0
+                    b[i] = -alpha_t * em1
+                    c[i] = 0.0
+                else:
+                    sigma_s1 = sigmas[i - 1]
+                    alpha_s1, sig_s1 = split(sigma_s1)
+                    lam_s1 = np.log(alpha_s1 / sig_s1)
+                    h0 = lam_s0 - lam_s1
+                    r0 = h0 / h
+                    a[i] = sig_t / sig_s0
+                    b[i] = -alpha_t * em1 * (1.0 + 0.5 / r0)
+                    c[i] = alpha_t * em1 * 0.5 / r0
+            lower_order_nums = min(lower_order_nums + 1, solver_order - 1)
+
+        return DPMSolverMultistep(
+            timesteps=timesteps,
+            sigmas=sigmas,
+            a=a,
+            b=b,
+            c=c,
+            eps_coef=eps_coef,
+            x0_scale=x0_scale,
+        )
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.timesteps)
+
+    def scan_inputs(self) -> dict:
+        """Per-step xs for `lax.scan`, as f32 device arrays."""
+        return {
+            "t": jnp.asarray(self.timesteps, dtype=jnp.int32),
+            "a": jnp.asarray(self.a, dtype=jnp.float32),
+            "b": jnp.asarray(self.b, dtype=jnp.float32),
+            "c": jnp.asarray(self.c, dtype=jnp.float32),
+            "eps_coef": jnp.asarray(self.eps_coef, dtype=jnp.float32),
+            "x0_scale": jnp.asarray(self.x0_scale, dtype=jnp.float32),
+        }
+
+    def step(
+        self,
+        step_xs: dict,
+        latents: jnp.ndarray,
+        eps: jnp.ndarray,
+        m_prev: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """One solver update given this step's xs slice.
+
+        Returns (new_latents, m) where m is the x0-prediction to carry.
+        """
+        dt = latents.dtype
+        m = (latents - step_xs["eps_coef"].astype(dt) * eps) * step_xs["x0_scale"].astype(dt)
+        new_latents = (
+            step_xs["a"].astype(dt) * latents
+            + step_xs["b"].astype(dt) * m
+            + step_xs["c"].astype(dt) * m_prev
+        )
+        return new_latents, m
+
+    def add_noise(
+        self, sample: jnp.ndarray, noise: jnp.ndarray, step_index: int
+    ) -> jnp.ndarray:
+        """Noise a clean sample to solver step `step_index` (0 = max noise).
+
+        Mirrors the reference's from_noised_image path
+        (/root/reference/models/infer.py:62-68) which noises to
+        `scheduler.timesteps[:1]`.
+        """
+        sigma = float(self.sigmas[step_index])
+        alpha_t = 1.0 / np.sqrt(sigma**2 + 1.0)
+        sigma_t = sigma * alpha_t
+        return (alpha_t * sample + sigma_t * noise).astype(sample.dtype)
+
+
+def make_sd15_schedule() -> DDPMSchedule:
+    """The Stable Diffusion 1.5 training schedule (scaled_linear, 1000 steps)."""
+    return DDPMSchedule.create(
+        num_train_timesteps=1000,
+        beta_start=0.00085,
+        beta_end=0.012,
+        beta_schedule="scaled_linear",
+        prediction_type="epsilon",
+        steps_offset=1,
+    )
