@@ -1,0 +1,212 @@
+"""Checkpointing: trainable-only partition, save/resume, torch .pt compat.
+
+The reference trains only the two adapters + the new attn2 projections
+(to_k_ip/to_v_ip) + LoRA (modeling_utils.py:62-88, train.py:366-372) and
+checkpoints exactly that partial state as photoverse_{step:06}.pt with keys
+{image_adapter, text_adapter, cross_attention_adapter, optimizer?,
+lora_config?} (modeling_utils.py:29-50).
+
+Here the same "trainable-only footprint" is a pytree partition:
+  - `partition_params` splits PhotoVerseParams into (trainable, frozen) flat
+    dicts keyed by path tuples — the optimizer/gradients only ever touch the
+    trainable dict;
+  - `save_progress` / `load_photoverse_checkpoint` write/read msgpack
+    checkpoints of that partition, and `load_photoverse_checkpoint` also
+    accepts the reference's torch .pt files (converted on load, including
+    peft LoRA keys), so users can bring their released weights.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from photoverse_tpu.models.assembly import PhotoVerseModules, PhotoVerseParams
+
+__all__ = [
+    "partition_params",
+    "combine_params",
+    "trainable_unet_mask_path",
+    "save_progress",
+    "load_photoverse_checkpoint",
+]
+
+_TRAINABLE_UNET_LEAVES = ("to_k_ip", "to_v_ip", "lora_A", "lora_B")
+
+
+def trainable_unet_mask_path(path: Tuple[str, ...]) -> bool:
+    """Is this UNet param path trainable? (new ip projections + LoRA only,
+    matching requires_grad after freeze-then-patch, train.py:366-370)."""
+    return any(p in _TRAINABLE_UNET_LEAVES for p in path)
+
+
+def partition_params(params: PhotoVerseParams) -> Tuple[Dict, Dict]:
+    """-> (trainable, frozen) flat dicts keyed by ("model", *path) tuples."""
+    trainable: Dict = {}
+    frozen: Dict = {}
+    for name in ("text_adapter", "image_adapter"):
+        for path, leaf in flatten_dict(getattr(params, name)).items():
+            trainable[(name, *path)] = leaf
+    for name in ("text_encoder", "vision_encoder", "vae"):
+        for path, leaf in flatten_dict(getattr(params, name)).items():
+            frozen[(name, *path)] = leaf
+    for path, leaf in flatten_dict(params.unet).items():
+        if trainable_unet_mask_path(path):
+            trainable[("unet", *path)] = leaf
+        else:
+            frozen[("unet", *path)] = leaf
+    return trainable, frozen
+
+
+def combine_params(trainable: Dict, frozen: Dict) -> PhotoVerseParams:
+    merged: Dict = {}
+    for flat in (trainable, frozen):
+        for key, leaf in flat.items():
+            merged.setdefault(key[0], {})[key[1:]] = leaf
+    return PhotoVerseParams(
+        **{name: unflatten_dict(tree) for name, tree in merged.items()}
+    )
+
+
+# ---------------------------------------------------------------------------
+# native save/load (msgpack via flax.serialization)
+# ---------------------------------------------------------------------------
+
+
+def save_progress(
+    output_dir: str,
+    params: PhotoVerseParams,
+    step: Optional[int] = None,
+    lora_config: Optional[dict] = None,
+    opt_state=None,
+) -> str:
+    """Write the trainable partition (+ optional optimizer state) to
+    photoverse_{step:06}.msgpack, mirroring save_progress
+    (modeling_utils.py:29-50)."""
+    trainable, _ = partition_params(params)
+    payload = {
+        "trainable": {"/".join(k): np.asarray(v) for k, v in trainable.items()},
+    }
+    if opt_state is not None:
+        payload["optimizer"] = serialization.to_state_dict(opt_state)
+    name = f"photoverse_{step:06d}.msgpack" if step is not None else "photoverse.msgpack"
+    path = os.path.join(output_dir, name)
+    os.makedirs(output_dir, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    if lora_config is not None:
+        with open(path + ".lora.json", "w") as f:
+            json.dump(lora_config, f)
+    return path
+
+
+def _load_native(path: str, params: PhotoVerseParams) -> PhotoVerseParams:
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    trainable, frozen = partition_params(params)
+    loaded = {tuple(k.split("/")): jnp.asarray(v) for k, v in payload["trainable"].items()}
+    missing = set(trainable) - set(loaded)
+    if missing:
+        raise ValueError(f"checkpoint missing {len(missing)} trainable keys: "
+                         f"{sorted(missing)[:5]}...")
+    return combine_params({k: loaded[k] for k in trainable}, frozen)
+
+
+# ---------------------------------------------------------------------------
+# torch .pt compatibility (reference checkpoint format)
+# ---------------------------------------------------------------------------
+
+
+def _convert_cross_attention_adapter(
+    sd: Dict[str, np.ndarray], unet_params: dict
+) -> dict:
+    """Map reference `cross_attention_adapter` unet keys into my unet tree.
+
+    Keys look like
+      down_blocks.0.attentions.1.transformer_blocks.0.attn2.to_q.weight
+      ...attn2.processor.to_k_ip.0.weight
+      ...attn2.to_q.lora_A.default.weight  (peft)
+      ...attn2.to_q.base_layer.weight      (peft-wrapped base)
+    """
+    flat = flatten_dict(unet_params)
+    pat = re.compile(
+        r"(?P<block>down_blocks\.(?P<di>\d)|mid_block|up_blocks\.(?P<ui>\d))"
+        r"\.attentions\.(?P<aj>\d)\.transformer_blocks\.0\.attn2\.(?P<rest>.+)"
+    )
+    for key, val in sd.items():
+        m = pat.match(key)
+        if m is None:
+            continue
+        if m.group("di") is not None:
+            block = f"down_{m.group('di')}_attn_{m.group('aj')}"
+        elif m.group("ui") is not None:
+            block = f"up_{m.group('ui')}_attn_{m.group('aj')}"
+        else:
+            block = "mid_attn"
+        rest = m.group("rest")
+        arr = np.asarray(val)
+        target = None
+        if rest.startswith("processor.to_k_ip.0.weight"):
+            target = (block, "attn2", "to_k_ip", "kernel"); arr = arr.T
+        elif rest.startswith("processor.to_v_ip.0.weight"):
+            target = (block, "attn2", "to_v_ip", "kernel"); arr = arr.T
+        else:
+            for proj in ("to_q", "to_k", "to_v"):
+                if rest == f"{proj}.weight" or rest == f"{proj}.base_layer.weight":
+                    target = (block, "attn2", proj, "base", "kernel"); arr = arr.T
+                elif rest == f"{proj}.lora_A.default.weight":
+                    target = (block, "attn2", proj, "lora_A"); arr = arr.T
+                elif rest == f"{proj}.lora_B.default.weight":
+                    target = (block, "attn2", proj, "lora_B"); arr = arr.T
+                else:
+                    continue
+                break
+        if target is not None and target in flat:
+            flat[target] = jnp.asarray(arr, jnp.float32)
+    return unflatten_dict(flat)
+
+
+def load_photoverse_checkpoint(
+    path: str, modules: PhotoVerseModules, params: PhotoVerseParams
+) -> Tuple[PhotoVerseParams, Optional[dict]]:
+    """Load either a native .msgpack or a reference torch .pt checkpoint
+    (load_photoverse_model semantics, modeling_utils.py:13-26)."""
+    if path.endswith(".msgpack"):
+        lora_path = path + ".lora.json"
+        lora = json.load(open(lora_path)) if os.path.exists(lora_path) else None
+        return _load_native(path, params), lora
+
+    import torch
+
+    from photoverse_tpu.convert.torch_to_jax import convert_adapter
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    lora_config = state.get("lora_config")
+    K = modules.num_tokens
+
+    def np_sd(d):
+        return {k: v.numpy() for k, v in d.items()}
+
+    if "image_adapter" in state:
+        params.image_adapter = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32),
+            convert_adapter(np_sd(state["image_adapter"]), num_tokens=K),
+        )
+    if "text_adapter" in state:
+        params.text_adapter = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.float32),
+            convert_adapter(np_sd(state["text_adapter"]), num_tokens=K),
+        )
+    if "cross_attention_adapter" in state:
+        params.unet = _convert_cross_attention_adapter(
+            np_sd(state["cross_attention_adapter"]), params.unet
+        )
+    return params, lora_config

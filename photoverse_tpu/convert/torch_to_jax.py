@@ -129,3 +129,214 @@ def convert_clip_vision(sd: StateDict, num_layers: int = 24) -> Dict:
     for i in range(num_layers):
         params[f"layer_{i}"] = _clip_encoder_layer(sd, base + f"encoder.layers.{i}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# SD-1.5 VAE (diffusers AutoencoderKL key schema)
+# ---------------------------------------------------------------------------
+
+
+def _conv(sd: StateDict, prefix: str) -> Dict:
+    # torch conv (out, in, kh, kw) -> flax (kh, kw, in, out)
+    return {
+        "kernel": np.asarray(sd[prefix + ".weight"]).transpose(2, 3, 1, 0),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _groupnorm(sd: StateDict, prefix: str) -> Dict:
+    return {
+        "scale": np.asarray(sd[prefix + ".weight"]),
+        "bias": np.asarray(sd[prefix + ".bias"]),
+    }
+
+
+def _resnet(sd: StateDict, p: str, time_emb: bool = False) -> Dict:
+    out = {
+        "norm1": _groupnorm(sd, p + ".norm1"),
+        "conv1": _conv(sd, p + ".conv1"),
+        "norm2": _groupnorm(sd, p + ".norm2"),
+        "conv2": _conv(sd, p + ".conv2"),
+    }
+    if time_emb:
+        out["time_emb_proj"] = _linear(sd, p + ".time_emb_proj")
+    if p + ".conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, p + ".conv_shortcut")
+    return out
+
+
+def _vae_attn(sd: StateDict, p: str) -> Dict:
+    # new-style keys to_q/to_k/to_v/to_out.0; legacy query/key/value/proj_attn
+    if p + ".to_q.weight" in sd:
+        q, k, v, o = ".to_q", ".to_k", ".to_v", ".to_out.0"
+    else:
+        q, k, v, o = ".query", ".key", ".value", ".proj_attn"
+
+    def lin(suffix):
+        w = np.asarray(sd[p + suffix + ".weight"])
+        if w.ndim == 4:  # legacy 1x1-conv attention weights
+            w = w[:, :, 0, 0]
+        return {"kernel": w.T, "bias": np.asarray(sd[p + suffix + ".bias"])}
+
+    return {
+        "group_norm": _groupnorm(sd, p + ".group_norm"),
+        "to_q": lin(q),
+        "to_k": lin(k),
+        "to_v": lin(v),
+        "to_out": lin(o),
+    }
+
+
+def convert_vae(
+    sd: StateDict,
+    block_out_channels=(128, 256, 512, 512),
+    layers_per_block: int = 2,
+) -> Dict:
+    """diffusers AutoencoderKL state dict -> photoverse_tpu AutoencoderKL params."""
+    n = len(block_out_channels)
+    enc: Dict = {
+        "conv_in": _conv(sd, "encoder.conv_in"),
+        "conv_norm_out": _groupnorm(sd, "encoder.conv_norm_out"),
+        "conv_out": _conv(sd, "encoder.conv_out"),
+        "mid": {
+            "resnet_0": _resnet(sd, "encoder.mid_block.resnets.0"),
+            "attn": _vae_attn(sd, "encoder.mid_block.attentions.0"),
+            "resnet_1": _resnet(sd, "encoder.mid_block.resnets.1"),
+        },
+    }
+    for i in range(n):
+        for j in range(layers_per_block):
+            enc[f"down_{i}_res_{j}"] = _resnet(sd, f"encoder.down_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            enc[f"down_{i}_downsample"] = {
+                "conv": _conv(sd, f"encoder.down_blocks.{i}.downsamplers.0.conv")
+            }
+    dec: Dict = {
+        "conv_in": _conv(sd, "decoder.conv_in"),
+        "conv_norm_out": _groupnorm(sd, "decoder.conv_norm_out"),
+        "conv_out": _conv(sd, "decoder.conv_out"),
+        "mid": {
+            "resnet_0": _resnet(sd, "decoder.mid_block.resnets.0"),
+            "attn": _vae_attn(sd, "decoder.mid_block.attentions.0"),
+            "resnet_1": _resnet(sd, "decoder.mid_block.resnets.1"),
+        },
+    }
+    for i in range(n):
+        for j in range(layers_per_block + 1):
+            dec[f"up_{i}_res_{j}"] = _resnet(sd, f"decoder.up_blocks.{i}.resnets.{j}")
+        if i < n - 1:
+            dec[f"up_{i}_upsample"] = {
+                "conv": _conv(sd, f"decoder.up_blocks.{i}.upsamplers.0.conv")
+            }
+    return {
+        "encoder": enc,
+        "decoder": dec,
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# SD-1.5 UNet (diffusers UNet2DConditionModel key schema) + PhotoVerse extras
+# ---------------------------------------------------------------------------
+
+
+def _nobias_linear(sd: StateDict, prefix: str) -> Dict:
+    return {"kernel": np.asarray(sd[prefix + ".weight"]).T}
+
+
+def _unet_tf_block(sd: StateDict, p: str, lora: bool = False) -> Dict:
+    """One diffusers Transformer2DModel (depth 1) -> my TransformerBlock params.
+
+    `p` is e.g. "down_blocks.0.attentions.0"; PhotoVerse to_k_ip/to_v_ip live
+    under "...attn2.processor.to_k_ip.0" (ModuleList of one, reference
+    models/attention_processor.py:51-56).
+    """
+    b = p + ".transformer_blocks.0"
+
+    def maybe_lora(prefix: str) -> Dict:
+        # peft wraps targeted Linears: base weight stays at `.weight` (or
+        # moves to `.base_layer.weight`), adapters at `.lora_A.default.weight`
+        base_key = (
+            prefix + ".base_layer.weight"
+            if prefix + ".base_layer.weight" in sd
+            else prefix + ".weight"
+        )
+        out = {"base": {"kernel": np.asarray(sd[base_key]).T}}
+        la = prefix + ".lora_A.default.weight"
+        if la in sd:
+            out["lora_A"] = np.asarray(sd[la]).T  # (r,in) -> (in,r)
+            out["lora_B"] = np.asarray(sd[prefix + ".lora_B.default.weight"]).T
+        return out
+
+    attn2 = {
+        "to_q": maybe_lora(b + ".attn2.to_q"),
+        "to_k": maybe_lora(b + ".attn2.to_k"),
+        "to_v": maybe_lora(b + ".attn2.to_v"),
+        "to_out": _linear(sd, b + ".attn2.to_out.0"),
+        "to_k_ip": _nobias_linear(sd, b + ".attn2.processor.to_k_ip.0"),
+        "to_v_ip": _nobias_linear(sd, b + ".attn2.processor.to_v_ip.0"),
+    }
+    return {
+        "norm": _groupnorm(sd, p + ".norm"),
+        "proj_in": _conv(sd, p + ".proj_in"),
+        "proj_out": _conv(sd, p + ".proj_out"),
+        "norm1": _layernorm(sd, b + ".norm1"),
+        "norm2": _layernorm(sd, b + ".norm2"),
+        "norm3": _layernorm(sd, b + ".norm3"),
+        "attn1": {
+            "to_q": _nobias_linear(sd, b + ".attn1.to_q"),
+            "to_k": _nobias_linear(sd, b + ".attn1.to_k"),
+            "to_v": _nobias_linear(sd, b + ".attn1.to_v"),
+            "to_out": _linear(sd, b + ".attn1.to_out.0"),
+        },
+        "attn2": attn2,
+        "ff_proj": _linear(sd, b + ".ff.net.0.proj"),
+        "ff_out": _linear(sd, b + ".ff.net.2"),
+    }
+
+
+def convert_unet(
+    sd: StateDict,
+    block_out_channels=(320, 640, 1280, 1280),
+    layers_per_block: int = 2,
+) -> Dict:
+    """diffusers UNet2DConditionModel (PhotoVerse-patched) -> UNet2DCondition params."""
+    n = len(block_out_channels)
+    params: Dict = {
+        "conv_in": _conv(sd, "conv_in"),
+        "time_embed_1": _linear(sd, "time_embedding.linear_1"),
+        "time_embed_2": _linear(sd, "time_embedding.linear_2"),
+        "conv_norm_out": _groupnorm(sd, "conv_norm_out"),
+        "conv_out": _conv(sd, "conv_out"),
+        "mid_res_0": _resnet(sd, "mid_block.resnets.0", time_emb=True),
+        "mid_res_1": _resnet(sd, "mid_block.resnets.1", time_emb=True),
+        "mid_attn": _unet_tf_block(sd, "mid_block.attentions.0"),
+    }
+    for i in range(n):
+        has_attn = i < n - 1  # down blocks: first n-1 have cross-attention
+        for j in range(layers_per_block):
+            params[f"down_{i}_res_{j}"] = _resnet(
+                sd, f"down_blocks.{i}.resnets.{j}", time_emb=True
+            )
+            if has_attn:
+                params[f"down_{i}_attn_{j}"] = _unet_tf_block(
+                    sd, f"down_blocks.{i}.attentions.{j}"
+                )
+        if i < n - 1:
+            params[f"down_{i}_downsample"] = _conv(
+                sd, f"down_blocks.{i}.downsamplers.0.conv"
+            )
+    for i in range(n):
+        has_attn = i > 0  # up blocks: last n-1 have cross-attention
+        for j in range(layers_per_block + 1):
+            params[f"up_{i}_res_{j}"] = _resnet(
+                sd, f"up_blocks.{i}.resnets.{j}", time_emb=True
+            )
+            if has_attn:
+                params[f"up_{i}_attn_{j}"] = _unet_tf_block(
+                    sd, f"up_blocks.{i}.attentions.{j}"
+                )
+        if i < n - 1:
+            params[f"up_{i}_upsample"] = _conv(sd, f"up_blocks.{i}.upsamplers.0.conv")
+    return params

@@ -1,0 +1,319 @@
+"""Model assembly — the single load/build point both CLIs share.
+
+TPU-native counterpart of `load_models` (/root/reference/models/
+modeling_utils.py:53-95): builds the six-model bundle (tokenizer, CLIP text,
+VAE, UNet, CLIP vision, dual adapters) plus the DDPM schedule, optionally
+loading converted SD-1.5 weights from a local diffusers-layout checkpoint
+directory and a PhotoVerse `.pt` training checkpoint.
+
+"Freezing" is structural here: trainable parameters (adapters + attn2
+q/k/v/LoRA/ip projections) live in a separate pytree partition — see
+photoverse_tpu.ckpt.checkpoint.trainable_partition — so the optimizer never
+sees backbone weights, mirroring modeling_utils.py:62-88.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from photoverse_tpu.core.schedulers import DDPMSchedule, make_sd15_schedule
+from photoverse_tpu.models.adapters import PhotoVerseAdapter
+from photoverse_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPTextEncoder,
+    CLIPVisionConfig,
+    CLIPVisionEncoder,
+)
+from photoverse_tpu.models.unet import UNet2DCondition, UNetConfig
+from photoverse_tpu.models.vae import AutoencoderKL, VAEConfig
+
+__all__ = ["PhotoVerseModules", "PhotoVerseParams", "build_models", "load_models"]
+
+
+@dataclasses.dataclass(frozen=True)
+class PhotoVerseModules:
+    """Static module definitions (hashable; safe as a jit static arg)."""
+
+    text_encoder: CLIPTextEncoder
+    vision_encoder: CLIPVisionEncoder
+    unet: UNet2DCondition
+    vae: AutoencoderKL
+    text_adapter: PhotoVerseAdapter
+    image_adapter: PhotoVerseAdapter
+    schedule: DDPMSchedule
+    image_encoder_layers_idx: Tuple[int, ...] = (4, 8, 12, 16)
+
+    @property
+    def num_tokens(self) -> int:
+        return len(self.image_encoder_layers_idx) + 1
+
+    @property
+    def scaling_factor(self) -> float:
+        return self.vae.config.scaling_factor
+
+
+@dataclasses.dataclass
+class PhotoVerseParams:
+    """Parameter pytrees, one per model (registered as a jax pytree)."""
+
+    text_encoder: Any
+    vision_encoder: Any
+    unet: Any
+    vae: Any
+    text_adapter: Any
+    image_adapter: Any
+
+
+jax.tree_util.register_dataclass(
+    PhotoVerseParams,
+    data_fields=[
+        "text_encoder",
+        "vision_encoder",
+        "unet",
+        "vae",
+        "text_adapter",
+        "image_adapter",
+    ],
+    meta_fields=[],
+)
+
+
+def build_models(
+    extra_num_tokens: int = 4,
+    image_encoder_layers_idx: Tuple[int, ...] = (4, 8, 12, 16),
+    lora_rank: int = 0,
+    lora_alpha: float = 1.0,
+    lora_dropout: float = 0.0,
+    dtype: jnp.dtype = jnp.float32,
+    unet_config: Optional[UNetConfig] = None,
+    vae_config: Optional[VAEConfig] = None,
+    text_config: Optional[CLIPTextConfig] = None,
+    vision_config: Optional[CLIPVisionConfig] = None,
+) -> PhotoVerseModules:
+    """Construct module definitions at SD-1.5 scale (or overridden configs)."""
+    unet_cfg = unet_config or UNetConfig(
+        lora_rank=lora_rank, lora_alpha=lora_alpha, lora_dropout=lora_dropout
+    )
+    vae_cfg = vae_config or VAEConfig()
+    text_cfg = text_config or CLIPTextConfig()
+    vision_cfg = vision_config or CLIPVisionConfig()
+    num_tokens = extra_num_tokens + 1
+    return PhotoVerseModules(
+        text_encoder=CLIPTextEncoder(config=text_cfg, dtype=dtype),
+        vision_encoder=CLIPVisionEncoder(config=vision_cfg, dtype=dtype),
+        unet=UNet2DCondition(config=unet_cfg, dtype=dtype),
+        vae=AutoencoderKL(config=vae_cfg),
+        text_adapter=PhotoVerseAdapter(
+            clip_embedding_dim=vision_cfg.hidden_size,
+            cross_attention_dim=unet_cfg.cross_attention_dim,
+            num_tokens=num_tokens,
+            dtype=dtype,
+        ),
+        image_adapter=PhotoVerseAdapter(
+            clip_embedding_dim=vision_cfg.hidden_size,
+            cross_attention_dim=unet_cfg.cross_attention_dim,
+            num_tokens=num_tokens,
+            dtype=dtype,
+        ),
+        schedule=make_sd15_schedule(),
+        image_encoder_layers_idx=tuple(image_encoder_layers_idx),
+    )
+
+
+def init_params(
+    modules: PhotoVerseModules, rng: jax.Array, latent_size: int = 64
+) -> PhotoVerseParams:
+    """Random-initialized parameter bundle (shapes at SD scale by default)."""
+    ks = jax.random.split(rng, 6)
+    t_cfg = modules.text_encoder.config
+    v_cfg = modules.vision_encoder.config
+    u_cfg = modules.unet.config
+    K = modules.num_tokens
+    ids = jnp.zeros((1, t_cfg.max_position_embeddings), jnp.int32)
+    text_params = modules.text_encoder.init(ks[0], ids)["params"]
+    px = jnp.zeros((1, v_cfg.image_size, v_cfg.image_size, 3))
+    vision_params = modules.vision_encoder.init(ks[1], px)["params"]
+    sample = jnp.zeros((1, latent_size, latent_size, u_cfg.in_channels))
+    text_ctx = jnp.zeros((1, t_cfg.max_position_embeddings, u_cfg.cross_attention_dim))
+    id_ctx = jnp.zeros((1, K, u_cfg.cross_attention_dim))
+    unet_params = modules.unet.init(
+        ks[2], sample, jnp.zeros((1,), jnp.int32), text_ctx, id_ctx
+    )["params"]
+    img = jnp.zeros((1, latent_size * 8, latent_size * 8, 3))
+    vae_params = modules.vae.init(ks[3], img, ks[3])["params"]
+    embs = jnp.zeros((K, 1, v_cfg.seq_len, v_cfg.hidden_size))
+    ta = modules.text_adapter.init(ks[4], embs)["params"]
+    ia = modules.image_adapter.init(ks[5], embs)["params"]
+    return PhotoVerseParams(
+        text_encoder=text_params,
+        vision_encoder=vision_params,
+        unet=unet_params,
+        vae=vae_params,
+        text_adapter=ta,
+        image_adapter=ia,
+    )
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pt/.bin/.safetensors file into a numpy dict (host-side)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+
+def _find_weight_file(folder: str) -> str:
+    for name in (
+        "diffusion_pytorch_model.safetensors",
+        "diffusion_pytorch_model.bin",
+        "model.safetensors",
+        "pytorch_model.bin",
+    ):
+        p = os.path.join(folder, name)
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(f"no weight file found under {folder}")
+
+
+def load_models(
+    pretrained_model_name_or_path: str,
+    extra_num_tokens: int = 4,
+    photoverse_path: Optional[str] = None,
+    use_lora: bool = False,
+    lora_rank: int = 8,
+    lora_alpha: float = 1.0,
+    lora_dropout: float = 0.0,
+    image_encoder_path: Optional[str] = None,
+    image_encoder_layers_idx: Tuple[int, ...] = (4, 8, 12, 16),
+    dtype: jnp.dtype = jnp.float32,
+    seed: int = 0,
+):
+    """Full load path mirroring modeling_utils.py:53-95 for local checkpoints.
+
+    `pretrained_model_name_or_path` must be a local diffusers-layout SD-1.5
+    directory (tokenizer/ text_encoder/ vae/ unet/ subfolders).
+    `image_encoder_path` points at a local CLIP ViT-L/14 (defaults to the
+    `image_encoder` subfolder if present). Returns
+    (tokenizer, modules, params, lora_config_dict).
+    """
+    from photoverse_tpu.convert.torch_to_jax import (
+        convert_clip_text,
+        convert_clip_vision,
+        convert_unet,
+        convert_vae,
+    )
+    from photoverse_tpu.data.tokenizer import CLIPTokenizer
+
+    root = pretrained_model_name_or_path
+    tokenizer = CLIPTokenizer.from_pretrained(root, subfolder="tokenizer")
+    modules = build_models(
+        extra_num_tokens=extra_num_tokens,
+        image_encoder_layers_idx=image_encoder_layers_idx,
+        lora_rank=lora_rank if use_lora else 0,
+        lora_alpha=lora_alpha,
+        lora_dropout=lora_dropout,
+        dtype=dtype,
+    )
+    params = init_params(modules, jax.random.PRNGKey(seed))
+
+    def as_jnp(tree):
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
+
+    text_sd = _load_torch_state_dict(_find_weight_file(os.path.join(root, "text_encoder")))
+    params.text_encoder = as_jnp(
+        convert_clip_text(text_sd, num_layers=modules.text_encoder.config.num_layers)
+    )
+    vae_sd = _load_torch_state_dict(_find_weight_file(os.path.join(root, "vae")))
+    params.vae = as_jnp(convert_vae(vae_sd))
+    unet_sd = _load_torch_state_dict(_find_weight_file(os.path.join(root, "unet")))
+    # fresh PhotoVerse ip projections are not in the SD checkpoint — seed them
+    # from the existing init, then overlay converted base weights
+    params.unet = _merge_unet(params.unet, unet_sd, modules)
+
+    ie_path = image_encoder_path or os.path.join(root, "image_encoder")
+    vis_sd = _load_torch_state_dict(_find_weight_file(ie_path))
+    params.vision_encoder = as_jnp(
+        convert_clip_vision(vis_sd, num_layers=modules.vision_encoder.config.num_layers)
+    )
+
+    lora_config = (
+        {
+            "r": lora_rank,
+            "lora_alpha": lora_alpha,
+            "lora_dropout": lora_dropout,
+            "bias": "none",
+            "target_modules": ["attn2.to_k", "attn2.to_v", "attn2.to_q"],
+        }
+        if use_lora
+        else None
+    )
+
+    if photoverse_path is not None:
+        from photoverse_tpu.ckpt.checkpoint import load_photoverse_checkpoint
+
+        params, lora_config = load_photoverse_checkpoint(
+            photoverse_path, modules, params
+        )
+    return tokenizer, modules, params, lora_config
+
+
+def _merge_unet(init_unet_params, unet_sd, modules: PhotoVerseModules):
+    """Overlay converted diffusers UNet weights onto an initialized tree,
+    keeping the randomly-initialized PhotoVerse ip projections for keys the
+    plain SD checkpoint does not contain."""
+    from photoverse_tpu.convert.torch_to_jax import convert_unet
+
+    sd = dict(unet_sd)
+    # synthesize missing PhotoVerse processor keys from the init tree so the
+    # converter sees a complete dict
+    flat = jax.tree_util.tree_flatten_with_path(init_unet_params)[0]
+    for path, leaf in flat:
+        keys = [p.key for p in path]
+        if "to_k_ip" in keys or "to_v_ip" in keys:
+            # my path down_0_attn_0/attn2/to_k_ip/kernel -> diffusers-ish key
+            block = keys[0]
+            proj = keys[2]
+            dk = _block_to_diffusers(block) + f".transformer_blocks.0.attn2.processor.{proj}.0.weight"
+            if dk not in sd:
+                sd[dk] = np.asarray(leaf).T
+    cfg = modules.unet.config
+    converted = convert_unet(
+        sd,
+        block_out_channels=cfg.block_out_channels,
+        layers_per_block=cfg.layers_per_block,
+    )
+    converted = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), converted)
+    # keep LoRA params from init when the checkpoint has none
+    return _overlay(init_unet_params, converted)
+
+
+def _block_to_diffusers(block: str) -> str:
+    if block == "mid_attn":
+        return "mid_block.attentions.0"
+    kind, i, _, j = block.split("_")
+    return f"{kind}_blocks.{i}.attentions.{j}"
+
+
+def _overlay(base, new):
+    """Recursively replace leaves of `base` with matching leaves of `new`."""
+    if not isinstance(base, dict):
+        return new if new is not None else base
+    out = {}
+    for k, v in base.items():
+        if isinstance(new, dict) and k in new:
+            out[k] = _overlay(v, new[k])
+        else:
+            out[k] = v
+    return out

@@ -1,0 +1,260 @@
+"""CLIP text + vision encoders, TPU-native flax implementation.
+
+Capability parity with the reference's transformers models:
+  - CLIPTextModel (SD-1.5 text encoder, patched for concept injection at
+    /root/reference/models/clip.py:29-102): here the concept splice is a
+    *native argument* of the embed stage (vectorized gather in
+    photoverse_tpu.ops.injection) rather than a class-wide monkey-patch.
+  - CLIPVisionModel ("openai/clip-vit-large-patch14") with multi-layer
+    hidden-state output, used as the identity feature extractor at
+    /root/reference/train.py:487-492. Instead of materializing all 25 hidden
+    states like `output_hidden_states=True`, the forward takes a static
+    tuple of layer indices and collects only those — 5x less HBM traffic at
+    the conditioning stage.
+
+Both use pre-LN transformer blocks with quick_gelu, matching OpenAI CLIP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from photoverse_tpu.ops.injection import inject_concept_embeddings
+
+__all__ = [
+    "CLIPTextConfig",
+    "CLIPVisionConfig",
+    "CLIPTextEncoder",
+    "CLIPVisionEncoder",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 77
+    layer_norm_eps: float = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    image_size: int = 224
+    patch_size: int = 14
+    num_channels: int = 3
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def seq_len(self) -> int:
+        return (self.image_size // self.patch_size) ** 2 + 1
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class _CLIPLayer(nn.Module):
+    """Pre-LN transformer block: x += attn(ln1(x)); x += mlp(ln2(x))."""
+
+    hidden_size: int
+    num_heads: int
+    intermediate_size: int
+    eps: float
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        D, H = self.hidden_size, self.num_heads
+        hd = D // H
+        ln1 = nn.LayerNorm(epsilon=self.eps, name="ln1", dtype=self.dtype)
+        ln2 = nn.LayerNorm(epsilon=self.eps, name="ln2", dtype=self.dtype)
+
+        h = ln1(x)
+        B, S, _ = h.shape
+        q = nn.Dense(D, name="q", dtype=self.dtype)(h).reshape(B, S, H, hd)
+        k = nn.Dense(D, name="k", dtype=self.dtype)(h).reshape(B, S, H, hd)
+        v = nn.Dense(D, name="v", dtype=self.dtype)(h).reshape(B, S, H, hd)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (hd**-0.5)
+        if mask is not None:
+            scores = scores + mask
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(self.dtype)
+        ctx = jnp.einsum(
+            "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        attn_out = nn.Dense(D, name="o", dtype=self.dtype)(ctx.reshape(B, S, D))
+        x = x + attn_out
+
+        h = ln2(x)
+        h = nn.Dense(self.intermediate_size, name="fc1", dtype=self.dtype)(h)
+        h = quick_gelu(h)
+        h = nn.Dense(D, name="fc2", dtype=self.dtype)(h)
+        return x + h
+
+
+class CLIPTextEncoder(nn.Module):
+    """CLIP text transformer with native concept-token injection.
+
+    Call signature mirrors the reference's patched forward contract
+    (text ids + optional concept embeddings + placeholder indices,
+    /root/reference/models/clip.py:50-52) as plain arguments.
+    Returns (last_hidden_state, pooled_output).
+    """
+
+    config: CLIPTextConfig = CLIPTextConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,  # (B, S) int32
+        concept_embeds: Optional[jnp.ndarray] = None,  # (B, K, D)
+        placeholder_idx: Optional[jnp.ndarray] = None,  # (B,) int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        tok_emb = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.vocab_size, cfg.hidden_size),
+            jnp.float32,
+        )
+        pos_emb = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.max_position_embeddings, cfg.hidden_size),
+            jnp.float32,
+        )
+        B, S = input_ids.shape
+        x = jnp.take(tok_emb.astype(self.dtype), input_ids, axis=0)
+        if concept_embeds is not None:
+            if placeholder_idx is None:
+                raise ValueError("placeholder_idx required with concept_embeds")
+            x = inject_concept_embeddings(
+                x, concept_embeds.astype(self.dtype), placeholder_idx
+            )
+        x = x + pos_emb[None, :S, :].astype(self.dtype)
+
+        causal = jnp.triu(
+            jnp.full((S, S), jnp.finfo(jnp.float32).min, dtype=jnp.float32), k=1
+        )[None, None, :, :]
+        for i in range(cfg.num_layers):
+            x = _CLIPLayer(
+                hidden_size=cfg.hidden_size,
+                num_heads=cfg.num_heads,
+                intermediate_size=cfg.intermediate_size,
+                eps=cfg.layer_norm_eps,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(x, causal)
+
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_ln", dtype=self.dtype)(x)
+        # EOT pooling: highest token id per row, as in the reference forward
+        # (/root/reference/models/clip.py:90-92).
+        eot = jnp.argmax(input_ids, axis=-1)
+        pooled = x[jnp.arange(B), eot]
+        return x, pooled
+
+
+class CLIPVisionEncoder(nn.Module):
+    """CLIP ViT returning the last hidden state plus selected layer outputs.
+
+    `collect_layers` uses HF hidden_states indexing: 0 = embedding output,
+    i = output of encoder layer i. The PhotoVerse conditioning stack needs
+    (4, 8, 12, 16) plus the final layer (/root/reference/train.py:488-492).
+    """
+
+    config: CLIPVisionConfig = CLIPVisionConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        pixel_values: jnp.ndarray,  # (B, H, W, 3) NHWC
+        collect_layers: Tuple[int, ...] = (),
+    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        cfg = self.config
+        if pixel_values.shape[-1] != cfg.num_channels:
+            raise ValueError(
+                f"expected NHWC input with {cfg.num_channels} channels, got "
+                f"{pixel_values.shape}"
+            )
+        B = pixel_values.shape[0]
+        patch_w = self.param(
+            "patch_embedding",
+            nn.initializers.lecun_normal(),
+            (cfg.patch_size, cfg.patch_size, cfg.num_channels, cfg.hidden_size),
+            jnp.float32,
+        )
+        cls_emb = self.param(
+            "class_embedding", nn.initializers.normal(0.02), (cfg.hidden_size,), jnp.float32
+        )
+        pos_emb = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.02),
+            (cfg.seq_len, cfg.hidden_size),
+            jnp.float32,
+        )
+
+        patches = jax.lax.conv_general_dilated(
+            pixel_values.astype(self.dtype),
+            patch_w.astype(self.dtype),
+            window_strides=(cfg.patch_size, cfg.patch_size),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        patches = patches.reshape(B, -1, cfg.hidden_size)
+        cls = jnp.broadcast_to(
+            cls_emb.astype(self.dtype)[None, None, :], (B, 1, cfg.hidden_size)
+        )
+        x = jnp.concatenate([cls, patches], axis=1) + pos_emb[None].astype(self.dtype)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="pre_ln", dtype=self.dtype)(x)
+
+        collected = {}
+        if 0 in collect_layers:
+            collected[0] = x
+        for i in range(cfg.num_layers):
+            x = _CLIPLayer(
+                hidden_size=cfg.hidden_size,
+                num_heads=cfg.num_heads,
+                intermediate_size=cfg.intermediate_size,
+                eps=cfg.layer_norm_eps,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(x, None)
+            if (i + 1) in collect_layers:
+                collected[i + 1] = x
+        # last_hidden_state is the raw encoder output (post_layernorm applies
+        # only to the pooled CLS in transformers' CLIPVisionTransformer).
+        last_hidden = x
+        return last_hidden, tuple(collected[i] for i in collect_layers)
+
+
+def photoverse_image_features(
+    vision_encoder: CLIPVisionEncoder,
+    params,
+    pixel_values: jnp.ndarray,
+    layer_indices: Tuple[int, ...] = (4, 8, 12, 16),
+) -> jnp.ndarray:
+    """Stacked (K, B, S, D) adapter input: [last_hidden] + selected layers.
+
+    Mirrors /root/reference/train.py:488-492 (and infer.py:80-84): the last
+    hidden state first, then hidden_states[i] for each configured index.
+    """
+    last, collected = vision_encoder.apply(
+        {"params": params}, pixel_values, collect_layers=tuple(layer_indices)
+    )
+    return jnp.stack([last, *collected], axis=0)

@@ -1,0 +1,390 @@
+"""SD-1.5 UNet with native dual-context (text + identity) cross-attention.
+
+Capability parity with the reference's patched UNet2DConditionModel:
+  - the diffusers UNet loaded at /root/reference/models/modeling_utils.py:58,
+  - with every attn2 replaced by a PhotoVerse processor installed via
+    set_visual_cross_attention_adapter (/root/reference/models/unet.py:8-35),
+  - plus optional peft LoRA on attn2.to_q/to_k/to_v
+    (/root/reference/train.py:346-354).
+
+TPU-first differences from that design:
+  - the dual conditioning is a first-class forward argument
+    `(text_ctx, id_ctx)` consumed by the attention op
+    (photoverse_tpu.ops.attention.dual_context_attention), not a tuple
+    smuggled through `encoder_hidden_states` and unpacked by a processor;
+  - the per-layer `to_v_ip_norm` side channel
+    (/root/reference/models/attention_processor.py:397, models/unet.py:38-47)
+    is an auxiliary *output* threaded functionally through the blocks;
+  - stochastic fusion randomness comes from an explicit key, folded per
+    cross-attn layer (train/eval is a static argument, not a grad-mode probe);
+  - NHWC layout throughout; LoRA deltas are computed as two thin matmuls on
+    activations (rank << width), which XLA fuses with the base projection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from photoverse_tpu.ops.attention import dual_context_attention, sdpa
+
+__all__ = ["UNetConfig", "UNet2DCondition"]
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 768
+    num_heads: int = 8  # SD-1.5 "attention_head_dim": 8 means 8 heads
+    norm_num_groups: int = 32
+    lora_rank: int = 0  # 0 disables LoRA
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    fusion_scale: float = 2.0
+    fusion_rule1: float = 1.0 / 3.0
+    fusion_rule2: float = 2.0 / 3.0
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.block_out_channels[0] * 4
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray, dim: int, max_period: float = 10000.0
+) -> jnp.ndarray:
+    """Sinusoidal embedding, flip_sin_to_cos=True / freq_shift=0 (SD-1.5)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def _gn(name: str, groups: int, eps: float = 1e-5) -> nn.GroupNorm:
+    # normalization statistics in f32 regardless of the compute dtype
+    return nn.GroupNorm(num_groups=groups, epsilon=eps, name=name, dtype=jnp.float32)
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        h = jax.nn.silu(_gn("norm1", self.groups)(x)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
+        t = nn.Dense(self.out_channels, name="time_emb_proj", dtype=self.dtype)(
+            jax.nn.silu(temb).astype(self.dtype)
+        )
+        h = h + t[:, None, None, :]
+        h = jax.nn.silu(_gn("norm2", self.groups)(h)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1), padding="VALID", name="conv_shortcut",
+                dtype=self.dtype,
+            )(x)
+        return x.astype(self.dtype) + h
+
+
+class _LoraDense(nn.Module):
+    """Dense (optionally bias-free) with an optional LoRA branch.
+
+    peft convention: delta = (alpha/r) * x @ A^T @ B^T with B zero-init
+    (/root/reference/train.py:346-354 targets attn2.to_q/to_k/to_v).
+    """
+
+    features: int
+    use_bias: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = nn.Dense(self.features, use_bias=self.use_bias, name="base", dtype=self.dtype)(x)
+        if self.lora_rank > 0:
+            a = self.param(
+                "lora_A",
+                nn.initializers.he_uniform(),
+                (x.shape[-1], self.lora_rank),
+                jnp.float32,
+            )
+            b = self.param(
+                "lora_B", nn.initializers.zeros, (self.lora_rank, self.features), jnp.float32
+            )
+            h = x
+            if self.lora_dropout > 0.0:
+                h = nn.Dropout(rate=self.lora_dropout, deterministic=not train)(h)
+            delta = (h @ a.astype(self.dtype)) @ b.astype(self.dtype)
+            y = y + delta * (self.lora_alpha / self.lora_rank)
+        return y
+
+
+class SelfAttention(nn.Module):
+    channels: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, S, C = x.shape
+        H = self.num_heads
+        d = C // H
+        q = nn.Dense(C, use_bias=False, name="to_q", dtype=self.dtype)(x).reshape(B, S, H, d)
+        k = nn.Dense(C, use_bias=False, name="to_k", dtype=self.dtype)(x).reshape(B, S, H, d)
+        v = nn.Dense(C, use_bias=False, name="to_v", dtype=self.dtype)(x).reshape(B, S, H, d)
+        out = sdpa(q, k, v).reshape(B, S, C)
+        return nn.Dense(C, name="to_out", dtype=self.dtype)(out)
+
+
+class DualCrossAttention(nn.Module):
+    """PhotoVerse attn2: text cross-attention + identity cross-attention.
+
+    Matches the semantics of PhotoVerseAttnProcessor2_0.__call__
+    (/root/reference/models/attention_processor.py:245-435) with LoRA folded
+    into to_q/to_k/to_v. Returns (out, v_ip_norm (B, H, K)).
+    """
+
+    channels: int
+    num_heads: int
+    cross_dim: int
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    fusion_scale: float = 2.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, S, C)
+        text_ctx: jnp.ndarray,  # (B, St, cross_dim)
+        id_ctx: jnp.ndarray,  # (B, K, cross_dim)
+        *,
+        train: bool = False,
+        fusion_u: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, S, C = x.shape
+        H = self.num_heads
+        d = C // H
+        lora_kw = dict(
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout,
+            dtype=self.dtype,
+        )
+        q = _LoraDense(C, name="to_q", **lora_kw)(x, train).reshape(B, S, H, d)
+        k = _LoraDense(C, name="to_k", **lora_kw)(text_ctx, train).reshape(B, -1, H, d)
+        v = _LoraDense(C, name="to_v", **lora_kw)(text_ctx, train).reshape(B, -1, H, d)
+        k_ip = nn.Dense(C, use_bias=False, name="to_k_ip", dtype=self.dtype)(
+            id_ctx
+        ).reshape(B, -1, H, d)
+        v_ip = nn.Dense(C, use_bias=False, name="to_v_ip", dtype=self.dtype)(
+            id_ctx
+        ).reshape(B, -1, H, d)
+        fused, v_ip_norm = dual_context_attention(
+            q, k, v, k_ip, v_ip,
+            train=train, fusion_u=fusion_u, scale=self.fusion_scale,
+        )
+        out = nn.Dense(C, name="to_out", dtype=self.dtype)(fused.reshape(B, S, C))
+        return out, v_ip_norm
+
+
+class TransformerBlock(nn.Module):
+    """Spatial transformer: GN -> proj_in -> (self, dual-cross, GEGLU ff) -> proj_out."""
+
+    channels: int
+    num_heads: int
+    cross_dim: int
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    lora_dropout: float = 0.0
+    fusion_scale: float = 2.0
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, H, W, C)
+        text_ctx: jnp.ndarray,
+        id_ctx: jnp.ndarray,
+        *,
+        train: bool = False,
+        fusion_u: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        B, Hh, Ww, C = x.shape
+        residual = x
+        h = _gn("norm", self.groups, eps=1e-6)(x).astype(self.dtype)
+        h = nn.Conv(C, (1, 1), padding="VALID", name="proj_in", dtype=self.dtype)(h)
+        h = h.reshape(B, Hh * Ww, C)
+
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name, dtype=jnp.float32)
+        h = h + SelfAttention(C, self.num_heads, name="attn1", dtype=self.dtype)(
+            ln("norm1")(h).astype(self.dtype)
+        )
+        attn2_out, v_ip_norm = DualCrossAttention(
+            C,
+            self.num_heads,
+            self.cross_dim,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            lora_dropout=self.lora_dropout,
+            fusion_scale=self.fusion_scale,
+            name="attn2",
+            dtype=self.dtype,
+        )(ln("norm2")(h).astype(self.dtype), text_ctx, id_ctx, train=train, fusion_u=fusion_u)
+        h = h + attn2_out
+
+        # GEGLU feed-forward
+        ff_in = ln("norm3")(h).astype(self.dtype)
+        proj = nn.Dense(8 * C, name="ff_proj", dtype=self.dtype)(ff_in)
+        a, gate = jnp.split(proj, 2, axis=-1)
+        h = h + nn.Dense(C, name="ff_out", dtype=self.dtype)(
+            a * jax.nn.gelu(gate, approximate=False)
+        )
+
+        h = h.reshape(B, Hh, Ww, C)
+        h = nn.Conv(C, (1, 1), padding="VALID", name="proj_out", dtype=self.dtype)(h)
+        return h + residual.astype(self.dtype), v_ip_norm
+
+
+class UNet2DCondition(nn.Module):
+    """The SD-1.5 denoiser with dual conditioning.
+
+    forward(sample (B,H,W,4), timesteps (B,), text_ctx (B,77,768),
+            id_ctx (B,K,768)) -> (eps (B,H,W,4), v_ip_norms (B, L*heads*K))
+    """
+
+    config: UNetConfig = UNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        text_ctx: jnp.ndarray,
+        id_ctx: jnp.ndarray,
+        *,
+        train: bool = False,
+        fusion_rng: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        ch = cfg.block_out_channels
+        n_blocks = len(ch)
+        if timesteps.ndim == 0:
+            timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
+
+        if train and fusion_rng is None:
+            raise ValueError("fusion_rng is required when train=True")
+        fusion_counter = [0]
+
+        def next_fusion_u() -> Optional[jnp.ndarray]:
+            if not train:
+                return None
+            key = jax.random.fold_in(fusion_rng, fusion_counter[0])
+            fusion_counter[0] += 1
+            return jax.random.uniform(key, ())
+
+        # time embedding: sinusoid(320) -> Dense -> silu -> Dense (1280)
+        temb = timestep_embedding(timesteps, ch[0])
+        temb = nn.Dense(cfg.time_embed_dim, name="time_embed_1", dtype=self.dtype)(
+            temb.astype(self.dtype)
+        )
+        temb = nn.Dense(cfg.time_embed_dim, name="time_embed_2", dtype=self.dtype)(
+            jax.nn.silu(temb)
+        )
+
+        tf_kw = dict(
+            num_heads=cfg.num_heads,
+            cross_dim=cfg.cross_attention_dim,
+            lora_rank=cfg.lora_rank,
+            lora_alpha=cfg.lora_alpha,
+            lora_dropout=cfg.lora_dropout,
+            fusion_scale=cfg.fusion_scale,
+            groups=cfg.norm_num_groups,
+            dtype=self.dtype,
+        )
+
+        norms: List[jnp.ndarray] = []
+        x = nn.Conv(ch[0], (3, 3), padding=1, name="conv_in", dtype=self.dtype)(
+            sample.astype(self.dtype)
+        )
+        skips = [x]
+
+        # down path: blocks 0..n-2 are cross-attn blocks, the last is plain
+        for i, c in enumerate(ch):
+            has_attn = i < n_blocks - 1
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock(
+                    c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", dtype=self.dtype
+                )(x, temb)
+                if has_attn:
+                    x, vn = TransformerBlock(c, name=f"down_{i}_attn_{j}", **tf_kw)(
+                        x, text_ctx, id_ctx, train=train, fusion_u=next_fusion_u()
+                    )
+                    norms.append(vn)
+                skips.append(x)
+            if i < n_blocks - 1:
+                x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+                x = nn.Conv(
+                    c, (3, 3), strides=(2, 2), padding="VALID",
+                    name=f"down_{i}_downsample", dtype=self.dtype,
+                )(x)
+                skips.append(x)
+
+        # mid
+        x = ResnetBlock(ch[-1], cfg.norm_num_groups, name="mid_res_0", dtype=self.dtype)(
+            x, temb
+        )
+        x, vn = TransformerBlock(ch[-1], name="mid_attn", **tf_kw)(
+            x, text_ctx, id_ctx, train=train, fusion_u=next_fusion_u()
+        )
+        norms.append(vn)
+        x = ResnetBlock(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype)(
+            x, temb
+        )
+
+        # up path: block 0 is plain, blocks 1..n-1 are cross-attn blocks
+        rev = list(reversed(ch))
+        for i, c in enumerate(rev):
+            has_attn = i > 0
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
+                x = ResnetBlock(
+                    c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", dtype=self.dtype
+                )(x, temb)
+                if has_attn:
+                    x, vn = TransformerBlock(c, name=f"up_{i}_attn_{j}", **tf_kw)(
+                        x, text_ctx, id_ctx, train=train, fusion_u=next_fusion_u()
+                    )
+                    norms.append(vn)
+            if i < n_blocks - 1:
+                B, Hh, Ww, C = x.shape
+                x = jax.image.resize(x, (B, Hh * 2, Ww * 2, C), method="nearest")
+                x = nn.Conv(
+                    c, (3, 3), padding=1, name=f"up_{i}_upsample", dtype=self.dtype
+                )(x)
+
+        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(self.dtype)
+        eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype)(x)
+
+        # (B, L, H, K) -> (B, L*H*K); order is call order (mean-invariant,
+        # matching the reference regularizer at models/unet.py:38-47)
+        v_ip_norms = jnp.stack(norms, axis=1)
+        v_ip_norms = v_ip_norms.reshape(v_ip_norms.shape[0], -1)
+        return eps.astype(jnp.float32), v_ip_norms

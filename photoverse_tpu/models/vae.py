@@ -1,0 +1,188 @@
+"""SD-1.5 VAE (AutoencoderKL equivalent), TPU-native flax/NHWC.
+
+Capability parity with the diffusers AutoencoderKL the reference loads at
+/root/reference/models/modeling_utils.py:57 and uses for:
+  - training latents: encode(pixels).latent_dist.sample() * 0.18215
+    (/root/reference/train.py:471-472)
+  - from_noised_image inference (/root/reference/models/infer.py:62-64)
+  - decoding generated latents (/root/reference/models/infer.py:121-122)
+
+Everything runs NHWC (TPU conv layout); the encode output is the diagonal
+Gaussian (mean, logvar) so sampling stays a pure function of an explicit key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["VAEConfig", "Encoder", "Decoder", "AutoencoderKL"]
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    scaling_factor: float = 0.18215
+
+
+def _gn(name: str, groups: int = 32) -> nn.GroupNorm:
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+
+
+def _conv(features: int, kernel: int, name: str, stride: int = 1, padding=None):
+    if padding is None:
+        padding = kernel // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=padding if isinstance(padding, str) else [(padding, padding)] * 2,
+        name=name,
+    )
+
+
+class ResnetBlock(nn.Module):
+    out_channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = jax.nn.silu(_gn("norm1", self.groups)(x))
+        h = _conv(self.out_channels, 3, "conv1")(h)
+        h = jax.nn.silu(_gn("norm2", self.groups)(h))
+        h = _conv(self.out_channels, 3, "conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = _conv(self.out_channels, 1, "conv_shortcut", padding=0)(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    """Single-head full spatial self-attention (VAE mid block)."""
+
+    channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        h = _gn("group_norm", self.groups)(x).reshape(B, H * W, C)
+        q = nn.Dense(C, name="to_q")(h)
+        k = nn.Dense(C, name="to_k")(h)
+        v = nn.Dense(C, name="to_v")(h)
+        scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores * (C**-0.5), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32)
+        out = nn.Dense(C, name="to_out")(ctx.astype(x.dtype))
+        return x + out.reshape(B, H, W, C)
+
+
+class Downsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # asymmetric (0,1) spatial pad then stride-2 valid conv, matching the
+        # SD VAE downsampler exactly
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding="VALID", name="conv"
+        )(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return _conv(self.channels, 3, "conv")(x)
+
+
+class MidBlock(nn.Module):
+    channels: int
+    groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = ResnetBlock(self.channels, self.groups, name="resnet_0")(x)
+        x = AttnBlock(self.channels, self.groups, name="attn")(x)
+        return ResnetBlock(self.channels, self.groups, name="resnet_1")(x)
+
+
+class Encoder(nn.Module):
+    config: VAEConfig = VAEConfig()
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        ch = cfg.block_out_channels
+        x = _conv(ch[0], 3, "conv_in")(x)
+        for i, c in enumerate(ch):
+            for j in range(cfg.layers_per_block):
+                x = ResnetBlock(c, cfg.norm_num_groups, name=f"down_{i}_res_{j}")(x)
+            if i < len(ch) - 1:
+                x = Downsample(c, name=f"down_{i}_downsample")(x)
+        x = MidBlock(ch[-1], cfg.norm_num_groups, name="mid")(x)
+        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x))
+        return _conv(2 * cfg.latent_channels, 3, "conv_out")(x)
+
+
+class Decoder(nn.Module):
+    config: VAEConfig = VAEConfig()
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        ch = list(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
+        x = _conv(ch[0], 3, "conv_in")(z)
+        x = MidBlock(ch[0], cfg.norm_num_groups, name="mid")(x)
+        for i, c in enumerate(ch):
+            for j in range(cfg.layers_per_block + 1):
+                x = ResnetBlock(c, cfg.norm_num_groups, name=f"up_{i}_res_{j}")(x)
+            if i < len(ch) - 1:
+                x = Upsample(c, name=f"up_{i}_upsample")(x)
+        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x))
+        return _conv(cfg.out_channels, 3, "conv_out")(x)
+
+
+class AutoencoderKL(nn.Module):
+    config: VAEConfig = VAEConfig()
+
+    def setup(self):
+        self.encoder = Encoder(self.config, name="encoder")
+        self.decoder = Decoder(self.config, name="decoder")
+        self.quant_conv = nn.Conv(
+            2 * self.config.latent_channels, (1, 1), padding="VALID", name="quant_conv"
+        )
+        self.post_quant_conv = nn.Conv(
+            self.config.latent_channels, (1, 1), padding="VALID", name="post_quant_conv"
+        )
+
+    def encode_moments(self, pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """pixels (B,H,W,3) in [-1,1] -> (mean, logvar) each (B,h,w,4)."""
+        moments = self.quant_conv(self.encoder(pixels))
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        return mean, jnp.clip(logvar, -30.0, 20.0)
+
+    def encode_sample(self, pixels: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        """latent_dist.sample() equivalent (unscaled latents)."""
+        mean, logvar = self.encode_moments(pixels)
+        std = jnp.exp(0.5 * logvar)
+        return mean + std * jax.random.normal(rng, mean.shape, dtype=mean.dtype)
+
+    def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """unscaled latents (B,h,w,4) -> pixels (B,H,W,3)."""
+        return self.decoder(self.post_quant_conv(latents))
+
+    def __call__(self, pixels: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        return self.decode(self.encode_sample(pixels, rng))
