@@ -1,0 +1,126 @@
+"""Inference CLI — flag surface of the reference generate.py
+(/root/reference/generate.py:21-34), TPU execution.
+
+Usage:
+  python -m photoverse_tpu.cli.generate --model_path /path/to/sd15 \
+      --checkpoint_path photoverse.pt --input_image_path face.jpg \
+      --text "a photo of a {}" --num_timesteps 25 --guidance_scale 6
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Run inference with pre-trained models")
+    p.add_argument("--model_path", type=str, default="runwayml/stable-diffusion-v1-5",
+                   help="Local diffusers-layout SD checkpoint directory")
+    p.add_argument("--extra_num_tokens", type=int, default=4)
+    p.add_argument("--encoder_layers_idx", nargs="+", type=int, default=[4, 8, 12, 16])
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--checkpoint_path", type=str, default="exp1/40k_simple.pt",
+                   help="PhotoVerse checkpoint (.pt torch format or .msgpack)")
+    p.add_argument("--input_image_path", type=str, required=False,
+                   default=None, help="Path to the input identity photo")
+    p.add_argument("--output_image_path", type=str, default="generated_image")
+    p.add_argument("--num_timesteps", type=int, default=25)
+    p.add_argument("--results_dir", type=str, default="results")
+    p.add_argument("--text", type=str, default="a photo of a {}")
+    p.add_argument("--negative_prompt", type=str, default=None)
+    p.add_argument("--num_of_samples", type=int, default=None)
+    p.add_argument("--from_noised_image", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU)")
+    return p
+
+
+def preprocess_image_for_inference(
+    image_path, tokenizer, template="a photo of a {}", placeholder_token="*",
+    negative_prompt=None, num_of_samples=None, size=512, interpolation="bicubic",
+):
+    """Reference generate.py:37-62 equivalent, NHWC numpy outputs."""
+    from PIL import Image
+
+    from photoverse_tpu.data.preprocessing import clip_preprocess, preprocess_image
+    from photoverse_tpu.data.prompts import prepare_prompt
+
+    raw = Image.open(image_path)
+    if raw.mode != "RGB":
+        raw = raw.convert("RGB")
+    example = prepare_prompt(
+        tokenizer, template, placeholder_token,
+        negative_prompt=negative_prompt, num_of_samples=num_of_samples,
+    )
+    example["pixel_values_clip"] = clip_preprocess(raw)[None]
+    example["pixel_values"] = preprocess_image(raw, size, interpolation)[None]
+    n = num_of_samples or 1
+    if num_of_samples:
+        example["pixel_values"] = np.repeat(example["pixel_values"], n, axis=0)
+        example["pixel_values_clip"] = np.repeat(example["pixel_values_clip"], n, axis=0)
+    return example
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.input_image_path is None:
+        raise SystemExit("--input_image_path is required")
+
+    from photoverse_tpu.core.schedulers import DPMSolverMultistep
+    from photoverse_tpu.engine.inference import run_inference
+    from photoverse_tpu.models.assembly import load_models
+    from photoverse_tpu.utils.image import denormalize, to_pil
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    tokenizer, modules, params, _ = load_models(
+        args.model_path,
+        extra_num_tokens=args.extra_num_tokens,
+        photoverse_path=args.checkpoint_path,
+        image_encoder_layers_idx=tuple(args.encoder_layers_idx),
+        dtype=dtype,
+    )
+    solver = DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
+
+    example = preprocess_image_for_inference(
+        args.input_image_path, tokenizer, template=args.text,
+        negative_prompt=args.negative_prompt, num_of_samples=args.num_of_samples,
+    )
+    dev_example = {
+        k: jnp.asarray(v)
+        for k, v in example.items()
+        if k in ("pixel_values", "pixel_values_clip", "text_input_ids",
+                 "concept_placeholder_idx")
+    }
+    if example.get("negative_text_input_ids") is not None:
+        dev_example["negative_text_input_ids"] = jnp.asarray(
+            example["negative_text_input_ids"]
+        )
+    B = dev_example["pixel_values"].shape[0]
+    uncond_ids = jnp.asarray(tokenizer([""] * B), jnp.int32)
+
+    seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(4), "little")
+    images = jax.jit(
+        lambda p, r: run_inference(
+            modules, p, solver, dev_example, r,
+            guidance_scale=args.guidance_scale,
+            token_index=0,
+            from_noised_image=args.from_noised_image,
+            uncond_input_ids=uncond_ids,
+        )
+    )(params, jax.random.PRNGKey(seed))
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    for idx, img in enumerate(np.asarray(images)):
+        to_pil(denormalize(img)).save(
+            os.path.join(args.results_dir, f"{args.output_image_path}{idx}.png")
+        )
+    print(f"saved {len(images)} image(s) to {args.results_dir}")
+
+
+if __name__ == "__main__":
+    main()

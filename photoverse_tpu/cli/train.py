@@ -1,0 +1,365 @@
+"""Training CLI — flag surface of the reference train.py
+(/root/reference/train.py:37-285), TPU data-parallel execution.
+
+The hot path is one jitted train step over a GSPMD data-parallel mesh
+(batch sharded, params replicated); periodic sample grids, face-similarity
+metric, checkpointing and metric logging mirror train.py:551-628.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="PhotoVerse TPU training")
+    p.add_argument("--pretrained_model_name_or_path", type=str,
+                   default="runwayml/stable-diffusion-v1-5",
+                   help="Local diffusers-layout SD checkpoint directory")
+    p.add_argument("--pretrained_photoverse_path", type=str, default=None)
+    p.add_argument("--data_root_path", type=str, required=True)
+    p.add_argument("--img_subfolder", type=str, default="images")
+    p.add_argument("--mask_subfolder", type=str, default=None)
+    p.add_argument("--output_dir", type=str, default="results")
+    p.add_argument("--logging_dir", type=str, default="logs")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--lr_warmup_steps", type=int, default=500)
+    p.add_argument("--adam_beta1", type=float, default=0.9)
+    p.add_argument("--adam_beta2", type=float, default=0.999)
+    p.add_argument("--adam_weight_decay", type=float, default=1e-2)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--weight_decay", type=float, default=1e-2)
+    p.add_argument("--num_train_epochs", type=int, default=100)
+    p.add_argument("--max_train_steps", type=int, default=5000)
+    p.add_argument("--train_batch_size", type=int, default=4)
+    p.add_argument("--dataloader_num_workers", type=int, default=4)
+    p.add_argument("--checkpoint_save_steps", type=int, default=2000)
+    p.add_argument("--samples_save_steps", type=int, default=500)
+    p.add_argument("--mixed_precision", type=str, default=None,
+                   choices=["no", "fp16", "bf16"])
+    p.add_argument("--report_to", type=str, default="tensorboard")
+    p.add_argument("--local_rank", type=int, default=-1)
+    p.add_argument("--extra_num_tokens", type=int, default=4)
+    p.add_argument("--image_encoder_layers_idx", nargs="+", type=int,
+                   default=[4, 8, 12, 16])
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--lr_scheduler", type=str, default="constant")
+    p.add_argument("--denoise_timesteps", type=int, default=10)
+    p.add_argument("--guidance_scale", type=float, default=2.0)
+    p.add_argument("--num_of_samples_to_save", type=int, default=4)
+    p.add_argument("--save_samples_with_various_prompts", action="store_true")
+    p.add_argument("--use_random_prompts", action="store_true")
+    p.add_argument("--push_to_hub", action="store_true")
+    p.add_argument("--hub_token", type=str, default=None)
+    p.add_argument("--hub_model_id", type=str, default=None)
+    p.add_argument("--face_loss", type=str, default=None,
+                   choices=["arcface", "facenet"])
+    p.add_argument("--face_loss_sample_ratio", type=float, default=0.25)
+    p.add_argument("--use_lora", action="store_true")
+    p.add_argument("--lora_alpha", type=float, default=1)
+    p.add_argument("--lora_dropout", type=float, default=0.1)
+    p.add_argument("--lora_rank", type=int, default=8)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--native_loader", action="store_true",
+                   help="Use the C++ batch data loader (unmasked datasets)")
+    args = p.parse_args(argv)
+    env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
+    if env_local_rank != -1 and env_local_rank != args.local_rank:
+        args.local_rank = env_local_rank
+    return args
+
+
+def check_args(args):
+    """Reference check_args (train.py:287-298)."""
+    if args.extra_num_tokens < 0:
+        raise ValueError("extra_num_tokens should be greater than or equal to 0")
+    if len(args.image_encoder_layers_idx) != args.extra_num_tokens:
+        raise ValueError(
+            "The number of image encoder layers to use as tokens should be "
+            "equal to extra_num_tokens"
+        )
+    if 0 in args.image_encoder_layers_idx:
+        raise ValueError(
+            "The image encoder extra tokens layers cant be the last layer "
+            "since we always use the last layer"
+        )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    check_args(args)
+    if args.cpu:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+
+    from photoverse_tpu.ckpt.checkpoint import combine_params, save_progress
+    from photoverse_tpu.core.schedulers import DPMSolverMultistep
+    from photoverse_tpu.data.dataset import (
+        BatchLoader,
+        CustomDataset,
+        CustomDatasetWithMasks,
+    )
+    from photoverse_tpu.data.prompts import prepare_prompt, random_batch_slicing
+    from photoverse_tpu.engine.inference import run_inference
+    from photoverse_tpu.engine.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from photoverse_tpu.models.assembly import load_models
+    from photoverse_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated,
+        shard_batch,
+    )
+    from photoverse_tpu.utils.image import (
+        denormalize,
+        denormalize_clip,
+        save_images_grid,
+        to_pil,
+    )
+    from photoverse_tpu.utils.metrics import MetricsWriter
+
+    seed = args.seed if args.seed is not None else 0
+    dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
+
+    tokenizer, modules, params, lora_config = load_models(
+        args.pretrained_model_name_or_path,
+        extra_num_tokens=args.extra_num_tokens,
+        photoverse_path=args.pretrained_photoverse_path,
+        use_lora=args.use_lora,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+        lora_dropout=args.lora_dropout,
+        image_encoder_layers_idx=tuple(args.image_encoder_layers_idx),
+        dtype=dtype,
+        seed=seed,
+    )
+    latent_size = args.resolution // 8
+
+    # face loss
+    face_loss_fn = None
+    face_solver = None
+    if args.face_loss:
+        from photoverse_tpu.models.face_loss import make_face_loss_fn
+
+        face_loss_fn = make_face_loss_fn(args.face_loss)
+        face_solver = DPMSolverMultistep.create(modules.schedule, 10)
+
+    cfg = TrainConfig(
+        learning_rate=args.learning_rate,
+        adam_beta1=args.adam_beta1,
+        adam_beta2=args.adam_beta2,
+        adam_weight_decay=args.adam_weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        lr_scheduler=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        max_train_steps=args.max_train_steps,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        face_loss_guidance=args.guidance_scale,
+    )
+    tx, lr_sched = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules, params, tx)
+
+    # data
+    ds_kw = dict(
+        tokenizer=tokenizer, size=args.resolution,
+        use_random_templates=args.use_random_prompts, seed=seed,
+        img_subfolder=args.img_subfolder,
+    )
+    if args.mask_subfolder is None:
+        dataset = CustomDataset(args.data_root_path, **ds_kw)
+    else:
+        dataset = CustomDatasetWithMasks(
+            args.data_root_path, mask_subfolder=args.mask_subfolder, **ds_kw
+        )
+    loader = BatchLoader(
+        dataset, args.train_batch_size, shuffle=True, seed=seed,
+        num_workers=args.dataloader_num_workers,
+        native=args.native_loader and args.mask_subfolder is None,
+    )
+
+    mesh = make_mesh()
+    repl = replicated(mesh)
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+    trainable, frozen, opt_state = put(trainable), put(frozen), put(opt_state)
+
+    step_fn = make_train_step(
+        modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=face_solver,
+        latent_size=latent_size,
+    )
+    jstep = jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, batch_sharding(mesh), repl),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 2),
+    )
+
+    writer = None
+    if jax.process_index() == 0:
+        os.makedirs(args.output_dir, exist_ok=True)
+        writer = MetricsWriter(
+            args.output_dir, report_to=args.report_to, config=vars(args)
+        )
+
+    num_update_steps_per_epoch = math.ceil(len(loader) / args.gradient_accumulation_steps)
+    num_epochs = math.ceil(args.max_train_steps / max(num_update_steps_per_epoch, 1))
+    print(
+        f"~~~~~ Running training ~~~~~\n"
+        f"  Num examples = {len(dataset)}\n  Num Epochs = {num_epochs}\n"
+        f"  Batch size per step = {args.train_batch_size}\n"
+        f"  Devices = {jax.device_count()}\n"
+        f"  Total optimization steps = {args.max_train_steps}"
+    )
+
+    rng = np.random.RandomState(seed)
+    face_rng = np.random.RandomState(seed + 1)
+    global_step = 0
+    key = jax.random.PRNGKey(seed)
+    eval_solver = DPMSolverMultistep.create(modules.schedule, args.denoise_timesteps)
+
+    for epoch in range(num_epochs):
+        for batch in loader:
+            host_batch = {
+                k: v for k, v in batch.items() if k != "text"
+            }
+            host_batch["concept_placeholder_idx"] = host_batch[
+                "concept_placeholder_idx"
+            ].reshape(-1)
+            if args.face_loss:
+                n_face = max(
+                    int(args.face_loss_sample_ratio * args.train_batch_size), 1
+                )
+                ex = prepare_prompt(
+                    tokenizer, "a photo of {}", "*",
+                    num_of_samples=args.train_batch_size,
+                )
+                merged = dict(batch)
+                merged["text_input_ids"] = ex["text_input_ids"]
+                merged["concept_placeholder_idx"] = ex["concept_placeholder_idx"]
+                sliced = random_batch_slicing(
+                    merged, args.train_batch_size, n_face, face_rng
+                )
+                host_batch["face_pixel_values"] = sliced["pixel_values"]
+                host_batch["face_pixel_values_clip"] = sliced["pixel_values_clip"]
+                host_batch["face_text_input_ids"] = sliced["text_input_ids"]
+                host_batch["face_concept_placeholder_idx"] = sliced[
+                    "concept_placeholder_idx"
+                ].reshape(-1)
+                host_batch["face_uncond_input_ids"] = np.asarray(
+                    tokenizer([""] * n_face), np.int32
+                )
+            dev_batch = shard_batch(mesh, host_batch)
+            key, step_key = jax.random.split(key)
+            trainable, opt_state, metrics = jstep(
+                trainable, frozen, opt_state, dev_batch, step_key
+            )
+            global_step += 1
+
+            if writer is not None:
+                logs = {
+                    "loss_mle": metrics["loss_mle"],
+                    "loss_reg_concept_text": metrics["loss_reg_concept_text"],
+                    "loss_reg_cross_attn_visual": metrics["loss_reg_cross_attn_visual"],
+                    "lr": lr_sched(global_step),
+                }
+                if args.face_loss:
+                    logs["loss_face"] = metrics["loss_face"]
+                writer.log(logs, global_step)
+
+            if global_step % args.samples_save_steps == 0 and writer is not None:
+                _save_samples(
+                    args, modules, combine_params(trainable, frozen), tokenizer,
+                    eval_solver, batch, global_step, writer, run_inference,
+                    prepare_prompt, denormalize, denormalize_clip, to_pil,
+                    save_images_grid, jnp, jax,
+                )
+            if global_step % args.checkpoint_save_steps == 0 and jax.process_index() == 0:
+                save_progress(
+                    args.output_dir, combine_params(trainable, frozen),
+                    step=global_step, lora_config=lora_config, opt_state=opt_state,
+                )
+            if global_step >= args.max_train_steps:
+                break
+        if global_step >= args.max_train_steps:
+            break
+
+    if jax.process_index() == 0:
+        save_progress(
+            args.output_dir, combine_params(trainable, frozen),
+            lora_config=lora_config, opt_state=opt_state,
+        )
+        if writer is not None:
+            writer.close()
+
+
+def _save_samples(
+    args, modules, params, tokenizer, solver, batch, step, writer, run_inference,
+    prepare_prompt, denormalize, denormalize_clip, to_pil, save_images_grid, jnp, jax,
+):
+    """Periodic sample grid + optional face-similarity metric
+    (reference train.py:555-605)."""
+    from photoverse_tpu.data.prompts import EVAL_PROMPTS
+
+    n = min(args.num_of_samples_to_save, batch["pixel_values"].shape[0])
+    example = {
+        "pixel_values": jnp.asarray(batch["pixel_values"][:n]),
+        "pixel_values_clip": jnp.asarray(batch["pixel_values_clip"][:n]),
+        "text_input_ids": jnp.asarray(batch["text_input_ids"][:n]),
+        "concept_placeholder_idx": jnp.asarray(
+            batch["concept_placeholder_idx"][:n].reshape(-1)
+        ),
+    }
+    uncond = jnp.asarray(tokenizer([""] * n), jnp.int32)
+    gen = run_inference(
+        modules, params, solver, example, jax.random.PRNGKey(step),
+        guidance_scale=args.guidance_scale, token_index=0,
+        latent_size=args.resolution // 8, uncond_input_ids=uncond,
+    )
+    import numpy as np
+
+    input_images = [to_pil(denormalize(img)) for img in batch["pixel_values"][:n]]
+    clip_images = [
+        to_pil(denormalize_clip(img)).resize((args.resolution, args.resolution))
+        for img in batch["pixel_values_clip"][:n]
+    ]
+    gen_images = [to_pil(denormalize(img)) for img in np.asarray(gen)]
+    grid_data = [
+        ("Input Images", input_images),
+        ("Condition Images", clip_images),
+        (batch["text"][0], gen_images),
+    ]
+    if args.save_samples_with_various_prompts:
+        for prompt in EVAL_PROMPTS:
+            ex = prepare_prompt(tokenizer, prompt, "*", num_of_samples=n)
+            example2 = dict(example)
+            example2["text_input_ids"] = jnp.asarray(ex["text_input_ids"])
+            example2["concept_placeholder_idx"] = jnp.asarray(
+                ex["concept_placeholder_idx"].reshape(-1)
+            )
+            g = run_inference(
+                modules, params, solver, example2, jax.random.PRNGKey(step),
+                guidance_scale=args.guidance_scale, token_index=0,
+                latent_size=args.resolution // 8, uncond_input_ids=uncond,
+            )
+            grid_data.append((prompt, [to_pil(denormalize(i)) for i in np.asarray(g)]))
+    path = os.path.join(args.output_dir, f"{step:05d}.jpg")
+    save_images_grid(grid_data, path)
+    writer.log_image(
+        "Generated images vs input images", path, "Generated images vs input images",
+        step,
+    )
+
+
+if __name__ == "__main__":
+    main()

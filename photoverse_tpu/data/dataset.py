@@ -1,0 +1,229 @@
+"""Datasets + input pipeline — host-side numpy loader.
+
+Equivalents of CustomDataset / CustomDatasetWithMasks / collate_fn
+(/root/reference/datasets/custom.py:45-189), emitting NHWC numpy batches
+with exactly the reference's batch-dict contract:
+  pixel_values (B,512,512,3 in [-1,1]), pixel_values_clip (B,224,224,3),
+  text_input_ids (B,77), concept_placeholder_idx (B,1), text (list[str]).
+
+The loader prefetches batches on background threads (replacing torch
+DataLoader worker processes, train.py:397-403) — decode/resize stay on host,
+the TPU only ever sees fixed-shape arrays.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from photoverse_tpu.data.preprocessing import (
+    apply_mask_and_crop,
+    clip_preprocess,
+    preprocess_image,
+)
+from photoverse_tpu.data.prompts import (
+    IMAGENET_TEMPLATES_SMALL,
+    find_placeholder_index,
+    prepare_prompt,
+)
+
+__all__ = ["CustomDataset", "CustomDatasetWithMasks", "collate_fn", "BatchLoader"]
+
+
+def _is_image(f: str) -> bool:
+    f = f.lower()
+    return any(ext in f for ext in ("jpg", "png", "jpeg"))
+
+
+def _numeric_sort(paths: List[str]) -> List[str]:
+    return sorted(paths, key=lambda x: int(os.path.basename(x).split(".")[0]))
+
+
+class CustomDataset:
+    """Single-image identity dataset (reference datasets/custom.py:45-93)."""
+
+    def __init__(
+        self,
+        data_root: str,
+        tokenizer,
+        img_subfolder: str = "images",
+        size: int = 512,
+        interpolation: str = "bicubic",
+        placeholder_token: str = "*",
+        template: str = "a photo of {}",
+        use_random_templates: bool = False,
+        seed: int = 0,
+    ):
+        self.tokenizer = tokenizer
+        self.size = size
+        self.interpolation = interpolation
+        self.placeholder_token = placeholder_token
+        self.template = template
+        self.use_random_templates = use_random_templates
+        self.rng = np.random.RandomState(seed)
+        img_dir = os.path.join(data_root, img_subfolder)
+        self.image_paths = _numeric_sort(
+            [os.path.join(img_dir, f) for f in os.listdir(img_dir) if _is_image(f)]
+        )
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, idx: int) -> Dict:
+        template = self.template
+        if self.use_random_templates:
+            template = self.rng.choice(IMAGENET_TEMPLATES_SMALL)
+        example = prepare_prompt(self.tokenizer, template, self.placeholder_token)
+        return self._prepare_image(example, idx)
+
+    def _prepare_image(self, example: Dict, idx: int) -> Dict:
+        raw = Image.open(self.image_paths[idx])
+        if raw.mode != "RGB":
+            raw = raw.convert("RGB")
+        example["pixel_values"] = preprocess_image(raw, self.size, self.interpolation)
+        example["pixel_values_clip"] = clip_preprocess(raw)
+        return example
+
+
+class CustomDatasetWithMasks(CustomDataset):
+    """Masked variant: CLIP branch sees only the background-zeroed face crop
+    (reference datasets/custom.py:96-173)."""
+
+    def __init__(self, data_root: str, tokenizer, mask_subfolder: str = "masks", **kw):
+        super().__init__(data_root, tokenizer, **kw)
+        mask_dir = os.path.join(data_root, mask_subfolder)
+        self.masks_paths = _numeric_sort(
+            [os.path.join(mask_dir, f) for f in os.listdir(mask_dir) if _is_image(f)]
+        )
+
+    def _prepare_image(self, example: Dict, idx: int) -> Dict:
+        raw = Image.open(self.image_paths[idx])
+        mask = Image.open(self.masks_paths[idx])
+        if raw.mode != "RGB":
+            raw = raw.convert("RGB")
+        face_crop = apply_mask_and_crop(raw, mask)
+        example["pixel_values"] = preprocess_image(raw, self.size, self.interpolation)
+        example["pixel_values_clip"] = clip_preprocess(face_crop)
+        return example
+
+
+def collate_fn(batch: List[Dict]) -> Dict:
+    """Stack per-example dicts (reference datasets/custom.py:176-189)."""
+    return {
+        "pixel_values": np.stack([e["pixel_values"] for e in batch]).astype(np.float32),
+        "pixel_values_clip": np.stack(
+            [e["pixel_values_clip"] for e in batch]
+        ).astype(np.float32),
+        "text_input_ids": np.concatenate(
+            [np.asarray(e["text_input_ids"]).reshape(1, -1) for e in batch]
+        ).astype(np.int32),
+        "concept_placeholder_idx": np.concatenate(
+            [np.asarray(e["concept_placeholder_idx"]).reshape(1, -1) for e in batch]
+        ).astype(np.int32),
+        "text": [e["text"] for e in batch],
+    }
+
+
+class BatchLoader:
+    """Shuffling, prefetching batch iterator (drop_last).
+
+    With native=True (unmasked datasets only) image decode/resize/normalize
+    runs through the C++ loader (native/dataloader.cc) — one call per batch,
+    multithreaded in C++ — instead of per-item PIL.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        native: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.native = native
+        self._native_loader = None
+        if native:
+            if isinstance(dataset, CustomDatasetWithMasks):
+                raise ValueError("native batch loading supports unmasked datasets only")
+            from photoverse_tpu.data.native_loader import get_loader
+
+            self._native_loader = get_loader(num_threads=self.num_workers)
+
+    def _native_batch(self, idxs) -> Dict:
+        ds = self.dataset
+        paths = [ds.image_paths[int(i)] for i in idxs]
+        pv, pc = self._native_loader.load_batch(paths, size=ds.size)
+        prompts = []
+        for _ in idxs:
+            template = ds.template
+            if ds.use_random_templates:
+                template = ds.rng.choice(IMAGENET_TEMPLATES_SMALL)
+            prompts.append(prepare_prompt(ds.tokenizer, template, ds.placeholder_token))
+        return {
+            "pixel_values": pv,
+            "pixel_values_clip": pc,
+            "text_input_ids": np.concatenate(
+                [np.asarray(p["text_input_ids"]).reshape(1, -1) for p in prompts]
+            ).astype(np.int32),
+            "concept_placeholder_idx": np.concatenate(
+                [np.asarray(p["concept_placeholder_idx"]).reshape(1, -1) for p in prompts]
+            ).astype(np.int32),
+            "text": [p["text"] for p in prompts],
+        }
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer(worker_id: int):
+            for b in range(worker_id, n_batches, self.num_workers):
+                if stop.is_set():
+                    return
+                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                if self._native_loader is not None:
+                    q.put((b, self._native_batch(idxs)))
+                else:
+                    q.put((b, collate_fn([self.dataset[int(i)] for i in idxs])))
+
+        threads = [
+            threading.Thread(target=producer, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            pending: Dict[int, Dict] = {}
+            nxt = 0
+            received = 0
+            while received < n_batches:
+                b, batch = q.get()
+                pending[b] = batch
+                received += 1
+                while nxt in pending:
+                    yield pending.pop(nxt)
+                    nxt += 1
+            while nxt in pending:
+                yield pending.pop(nxt)
+                nxt += 1
+        finally:
+            stop.set()

@@ -1,0 +1,108 @@
+"""ctypes binding for the native C++ data loader (native/dataloader.cc).
+
+Builds the shared library on first use (g++ -O3, linked against libjpeg/
+libpng) and exposes:
+  load_batch(paths, size, clip_size) -> (pixel_values, pixel_values_clip)
+  preprocess_rgb(array, size, mode)  -> normalized float image
+
+Falls back gracefully: callers should catch NativeLoaderUnavailable and use
+the Python pipeline (photoverse_tpu.data.preprocessing).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Tuple
+
+import numpy as np
+
+__all__ = ["NativeLoaderUnavailable", "get_loader", "NativeLoader"]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "dataloader.cc")
+_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "libpvdataloader.so")
+
+_lock = threading.Lock()
+_cached = None
+
+
+class NativeLoaderUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> str:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    cmd = [
+        "g++", "-O3", "-march=native", "-ffast-math", "-funroll-loops",
+        "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-o", _SO, "-ljpeg", "-lpng", "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        msg = getattr(e, "stderr", str(e))
+        raise NativeLoaderUnavailable(f"native loader build failed: {msg}") from e
+    return _SO
+
+
+class NativeLoader:
+    def __init__(self, num_threads: int = 0):
+        lib = ctypes.CDLL(_build())
+        lib.pv_load_batch.restype = ctypes.c_int
+        lib.pv_load_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.pv_preprocess_rgb.restype = None
+        lib.pv_preprocess_rgb.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        self._lib = lib
+        self.num_threads = num_threads or (os.cpu_count() or 4)
+
+    def load_batch(
+        self, paths: List[str], size: int = 512, clip_size: int = 224
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(paths)
+        pv = np.empty((n, size, size, 3), np.float32)
+        pc = np.empty((n, clip_size, clip_size, 3), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        ok = self._lib.pv_load_batch(
+            arr, n, size, clip_size, min(self.num_threads, n),
+            pv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if ok != n:
+            raise IOError(f"native loader decoded {ok}/{n} images")
+        return pv, pc
+
+    def preprocess_rgb(
+        self, image: np.ndarray, size: int, mode: str = "vae"
+    ) -> np.ndarray:
+        """(H, W, 3) uint8 -> (size, size, 3) float; mode 'vae' ([-1,1]) or
+        'clip' (CLIP mean/std)."""
+        img = np.ascontiguousarray(image, np.uint8)
+        h, w = img.shape[:2]
+        out = np.empty((size, size, 3), np.float32)
+        self._lib.pv_preprocess_rgb(
+            img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            h, w, size, 0 if mode == "vae" else 1,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+
+def get_loader(num_threads: int = 0) -> NativeLoader:
+    global _cached
+    with _lock:
+        if _cached is None:
+            _cached = NativeLoader(num_threads)
+        return _cached
