@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 A100_TORCH_IMGS_PER_SEC = 1.0  # estimated reference throughput (see docstring)
 
 BATCH = 4

@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--native_loader", action="store_true",
                    help="Use the C++ batch data loader (unmasked datasets)")
+    p.add_argument("--profile_steps", type=str, default=None,
+                   help="'start,stop' step range to capture a jax.profiler "
+                        "trace into {output_dir}/profile")
     args = p.parse_args(argv)
     env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
     if env_local_rank != -1 and env_local_rank != args.local_rank:
@@ -226,6 +229,10 @@ def main(argv=None):
     face_rng = np.random.RandomState(seed + 1)
     global_step = 0
     key = jax.random.PRNGKey(seed)
+    profile_range = None
+    if args.profile_steps:
+        start, stop = (int(x) for x in args.profile_steps.split(","))
+        profile_range = (start, stop)
     eval_solver = DPMSolverMultistep.create(modules.schedule, args.denoise_timesteps)
 
     for epoch in range(num_epochs):
@@ -261,9 +268,14 @@ def main(argv=None):
                 )
             dev_batch = shard_batch(mesh, host_batch)
             key, step_key = jax.random.split(key)
+            if profile_range and global_step == profile_range[0]:
+                jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
             trainable, opt_state, metrics = jstep(
                 trainable, frozen, opt_state, dev_batch, step_key
             )
+            if profile_range and global_step == profile_range[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             global_step += 1
 
             if writer is not None:
