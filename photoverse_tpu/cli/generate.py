@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--from_noised_image", action="store_true")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU)")
+    p.add_argument("--pallas_attention", action="store_true",
+                   help="Fused Pallas dual-context attention (TPU)")
     return p
 
 
@@ -83,6 +85,7 @@ def main(argv=None):
         photoverse_path=args.checkpoint_path,
         image_encoder_layers_idx=tuple(args.encoder_layers_idx),
         dtype=dtype,
+        use_pallas_attention=args.pallas_attention,
     )
     solver = DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
 

@@ -91,6 +91,7 @@ def build_models(
     lora_alpha: float = 1.0,
     lora_dropout: float = 0.0,
     dtype: jnp.dtype = jnp.float32,
+    use_pallas_attention: bool = False,
     unet_config: Optional[UNetConfig] = None,
     vae_config: Optional[VAEConfig] = None,
     text_config: Optional[CLIPTextConfig] = None,
@@ -98,7 +99,8 @@ def build_models(
 ) -> PhotoVerseModules:
     """Construct module definitions at SD-1.5 scale (or overridden configs)."""
     unet_cfg = unet_config or UNetConfig(
-        lora_rank=lora_rank, lora_alpha=lora_alpha, lora_dropout=lora_dropout
+        lora_rank=lora_rank, lora_alpha=lora_alpha, lora_dropout=lora_dropout,
+        use_pallas_attention=use_pallas_attention,
     )
     vae_cfg = vae_config or VAEConfig()
     text_cfg = text_config or CLIPTextConfig()
@@ -198,6 +200,7 @@ def load_models(
     image_encoder_path: Optional[str] = None,
     image_encoder_layers_idx: Tuple[int, ...] = (4, 8, 12, 16),
     dtype: jnp.dtype = jnp.float32,
+    use_pallas_attention: bool = False,
     seed: int = 0,
 ):
     """Full load path mirroring modeling_utils.py:53-95 for local checkpoints.
@@ -225,6 +228,7 @@ def load_models(
         lora_alpha=lora_alpha,
         lora_dropout=lora_dropout,
         dtype=dtype,
+        use_pallas_attention=use_pallas_attention,
     )
     params = init_params(modules, jax.random.PRNGKey(seed))
 

@@ -51,6 +51,8 @@ class UNetConfig:
     fusion_scale: float = 2.0
     fusion_rule1: float = 1.0 / 3.0
     fusion_rule2: float = 2.0 / 3.0
+    # fused Pallas dual-context attention for the inference path (TPU)
+    use_pallas_attention: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -164,6 +166,7 @@ class DualCrossAttention(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -194,10 +197,22 @@ class DualCrossAttention(nn.Module):
         v_ip = nn.Dense(C, use_bias=False, name="to_v_ip", dtype=self.dtype)(
             id_ctx
         ).reshape(B, -1, H, d)
-        fused, v_ip_norm = dual_context_attention(
-            q, k, v, k_ip, v_ip,
-            train=train, fusion_u=fusion_u, scale=self.fusion_scale,
-        )
+        if self.use_pallas and not train:
+            from photoverse_tpu.ops.pallas_attention import (
+                dual_context_attention_pallas,
+            )
+
+            fused = dual_context_attention_pallas(
+                q, k, v, k_ip, v_ip, jnp.asarray([1.0, 1.0], jnp.float32)
+            )
+            v_ip_norm = jnp.sqrt(
+                jnp.sum(jnp.square(v_ip.astype(jnp.float32)), axis=-1)
+            ).transpose(0, 2, 1)
+        else:
+            fused, v_ip_norm = dual_context_attention(
+                q, k, v, k_ip, v_ip,
+                train=train, fusion_u=fusion_u, scale=self.fusion_scale,
+            )
         out = nn.Dense(C, name="to_out", dtype=self.dtype)(fused.reshape(B, S, C))
         return out, v_ip_norm
 
@@ -212,6 +227,7 @@ class TransformerBlock(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
+    use_pallas: bool = False
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
@@ -243,6 +259,7 @@ class TransformerBlock(nn.Module):
             lora_alpha=self.lora_alpha,
             lora_dropout=self.lora_dropout,
             fusion_scale=self.fusion_scale,
+            use_pallas=self.use_pallas,
             name="attn2",
             dtype=self.dtype,
         )(ln("norm2")(h).astype(self.dtype), text_ctx, id_ctx, train=train, fusion_u=fusion_u)
@@ -315,6 +332,7 @@ class UNet2DCondition(nn.Module):
             lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout,
             fusion_scale=cfg.fusion_scale,
+            use_pallas=cfg.use_pallas_attention,
             groups=cfg.norm_num_groups,
             dtype=self.dtype,
         )
