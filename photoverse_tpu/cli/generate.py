@@ -30,6 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None, help="Path to the input identity photo")
     p.add_argument("--output_image_path", type=str, default="generated_image")
     p.add_argument("--num_timesteps", type=int, default=25)
+    p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--results_dir", type=str, default="results")
     p.add_argument("--text", type=str, default="a photo of a {}")
     p.add_argument("--negative_prompt", type=str, default=None)
@@ -45,6 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
 def preprocess_image_for_inference(
     image_path, tokenizer, template="a photo of a {}", placeholder_token="*",
     negative_prompt=None, num_of_samples=None, size=512, interpolation="bicubic",
+    clip_size=224,
 ):
     """Reference generate.py:37-62 equivalent, NHWC numpy outputs."""
     from PIL import Image
@@ -59,7 +61,7 @@ def preprocess_image_for_inference(
         tokenizer, template, placeholder_token,
         negative_prompt=negative_prompt, num_of_samples=num_of_samples,
     )
-    example["pixel_values_clip"] = clip_preprocess(raw)[None]
+    example["pixel_values_clip"] = clip_preprocess(raw, clip_size)[None]
     example["pixel_values"] = preprocess_image(raw, size, interpolation)[None]
     n = num_of_samples or 1
     if num_of_samples:
@@ -79,19 +81,27 @@ def main(argv=None):
     from photoverse_tpu.utils.image import denormalize, to_pil
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    ckpt = args.checkpoint_path or None
+    if ckpt and not os.path.exists(ckpt):
+        raise SystemExit(f"checkpoint not found: {ckpt}")
     tokenizer, modules, params, _ = load_models(
         args.model_path,
         extra_num_tokens=args.extra_num_tokens,
-        photoverse_path=args.checkpoint_path,
+        photoverse_path=ckpt,
         image_encoder_layers_idx=tuple(args.encoder_layers_idx),
         dtype=dtype,
         use_pallas_attention=args.pallas_attention,
     )
     solver = DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
 
+    # latent size follows the VAE's downsampling depth; the CLIP branch
+    # follows the vision encoder's configured input size
+    latent_factor = 2 ** (len(modules.vae.config.block_out_channels) - 1)
+    latent_size = args.resolution // latent_factor
     example = preprocess_image_for_inference(
         args.input_image_path, tokenizer, template=args.text,
         negative_prompt=args.negative_prompt, num_of_samples=args.num_of_samples,
+        size=args.resolution, clip_size=modules.vision_encoder.config.image_size,
     )
     dev_example = {
         k: jnp.asarray(v)
@@ -112,6 +122,7 @@ def main(argv=None):
             modules, p, solver, dev_example, r,
             guidance_scale=args.guidance_scale,
             token_index=0,
+            latent_size=latent_size,
             from_noised_image=args.from_noised_image,
             uncond_input_ids=uncond_ids,
         )

@@ -179,6 +179,7 @@ def main(argv=None):
         tokenizer=tokenizer, size=args.resolution,
         use_random_templates=args.use_random_prompts, seed=seed,
         img_subfolder=args.img_subfolder,
+        clip_size=modules.vision_encoder.config.image_size,
     )
     if args.mask_subfolder is None:
         dataset = CustomDataset(args.data_root_path, **ds_kw)
@@ -192,7 +193,11 @@ def main(argv=None):
         native=args.native_loader and args.mask_subfolder is None,
     )
 
-    mesh = make_mesh()
+    # data-parallel mesh over the largest device count dividing the batch
+    n_mesh = jax.device_count()
+    while args.train_batch_size % n_mesh:
+        n_mesh -= 1
+    mesh = make_mesh(n_mesh)
     repl = replicated(mesh)
     put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
     trainable, frozen, opt_state = put(trainable), put(frozen), put(opt_state)

@@ -58,9 +58,11 @@ class CustomDataset:
         template: str = "a photo of {}",
         use_random_templates: bool = False,
         seed: int = 0,
+        clip_size: int = 224,
     ):
         self.tokenizer = tokenizer
         self.size = size
+        self.clip_size = clip_size
         self.interpolation = interpolation
         self.placeholder_token = placeholder_token
         self.template = template
@@ -86,7 +88,7 @@ class CustomDataset:
         if raw.mode != "RGB":
             raw = raw.convert("RGB")
         example["pixel_values"] = preprocess_image(raw, self.size, self.interpolation)
-        example["pixel_values_clip"] = clip_preprocess(raw)
+        example["pixel_values_clip"] = clip_preprocess(raw, self.clip_size)
         return example
 
 
@@ -108,7 +110,7 @@ class CustomDatasetWithMasks(CustomDataset):
             raw = raw.convert("RGB")
         face_crop = apply_mask_and_crop(raw, mask)
         example["pixel_values"] = preprocess_image(raw, self.size, self.interpolation)
-        example["pixel_values_clip"] = clip_preprocess(face_crop)
+        example["pixel_values_clip"] = clip_preprocess(face_crop, self.clip_size)
         return example
 
 
@@ -165,7 +167,9 @@ class BatchLoader:
     def _native_batch(self, idxs) -> Dict:
         ds = self.dataset
         paths = [ds.image_paths[int(i)] for i in idxs]
-        pv, pc = self._native_loader.load_batch(paths, size=ds.size)
+        pv, pc = self._native_loader.load_batch(
+            paths, size=ds.size, clip_size=ds.clip_size
+        )
         prompts = []
         for _ in idxs:
             template = ds.template

@@ -146,7 +146,7 @@ def make_train_step(
         ids = batch["text_input_ids"]
         pidx = batch["concept_placeholder_idx"].reshape(-1)
         B = px.shape[0]
-        k_vae, k_noise, k_t, k_fusion, k_face = jax.random.split(rng, 5)
+        k_vae, k_noise, k_t, k_fusion, k_face, k_drop = jax.random.split(rng, 6)
 
         latents = modules.vae.apply(
             {"params": params.vae}, px, k_vae, method="encode_sample"
@@ -169,6 +169,7 @@ def make_train_step(
             id_ctx,
             train=True,
             fusion_rng=k_fusion,
+            rngs={"dropout": k_drop},  # LoRA dropout (train.py lora_dropout 0.1)
         )
 
         diffusion_loss = jnp.mean(

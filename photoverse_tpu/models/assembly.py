@@ -176,6 +176,88 @@ def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
 
 
+def _read_json(folder: str, name: str = "config.json") -> Optional[dict]:
+    import json
+
+    p = os.path.join(folder, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _configs_from_checkpoint(root: str, lora_rank, lora_alpha, lora_dropout,
+                             use_pallas_attention):
+    """Derive module configs from the diffusers/transformers config.json
+    files when present (so non-SD-1.5-scale checkpoints load correctly)."""
+    u = _read_json(os.path.join(root, "unet")) or {}
+    v = _read_json(os.path.join(root, "vae")) or {}
+    t = _read_json(os.path.join(root, "text_encoder")) or {}
+    unet_cfg = UNetConfig(
+        in_channels=u.get("in_channels", 4),
+        out_channels=u.get("out_channels", 4),
+        block_out_channels=tuple(u.get("block_out_channels", (320, 640, 1280, 1280))),
+        layers_per_block=u.get("layers_per_block", 2),
+        cross_attention_dim=u.get("cross_attention_dim", 768),
+        num_heads=(
+            u["attention_head_dim"]
+            if isinstance(u.get("attention_head_dim"), int)
+            else 8
+        ),
+        norm_num_groups=u.get("norm_num_groups", 32),
+        lora_rank=lora_rank,
+        lora_alpha=lora_alpha,
+        lora_dropout=lora_dropout,
+        use_pallas_attention=use_pallas_attention,
+    )
+    vae_cfg = VAEConfig(
+        in_channels=v.get("in_channels", 3),
+        out_channels=v.get("out_channels", 3),
+        latent_channels=v.get("latent_channels", 4),
+        block_out_channels=tuple(v.get("block_out_channels", (128, 256, 512, 512))),
+        layers_per_block=v.get("layers_per_block", 2),
+        norm_num_groups=v.get("norm_num_groups", 32),
+        scaling_factor=v.get("scaling_factor", 0.18215),
+    )
+    text_cfg = CLIPTextConfig(
+        vocab_size=t.get("vocab_size", 49408),
+        hidden_size=t.get("hidden_size", 768),
+        num_layers=t.get("num_hidden_layers", 12),
+        num_heads=t.get("num_attention_heads", 12),
+        intermediate_size=t.get("intermediate_size", 3072),
+        max_position_embeddings=t.get("max_position_embeddings", 77),
+    )
+    return unet_cfg, vae_cfg, text_cfg
+
+
+def _vision_config_from(folder: str) -> CLIPVisionConfig:
+    c = _read_json(folder) or {}
+    if "vision_config" in c:
+        c = c["vision_config"]
+    return CLIPVisionConfig(
+        hidden_size=c.get("hidden_size", 1024),
+        num_layers=c.get("num_hidden_layers", 24),
+        num_heads=c.get("num_attention_heads", 16),
+        intermediate_size=c.get("intermediate_size", 4096),
+        image_size=c.get("image_size", 224),
+        patch_size=c.get("patch_size", 14),
+    )
+
+
+def _schedule_from(root: str) -> DDPMSchedule:
+    c = _read_json(os.path.join(root, "scheduler"), "scheduler_config.json")
+    if c is None:
+        return make_sd15_schedule()
+    return DDPMSchedule.create(
+        num_train_timesteps=c.get("num_train_timesteps", 1000),
+        beta_start=c.get("beta_start", 0.00085),
+        beta_end=c.get("beta_end", 0.012),
+        beta_schedule=c.get("beta_schedule", "scaled_linear"),
+        prediction_type=c.get("prediction_type", "epsilon"),
+        steps_offset=c.get("steps_offset", 1),
+    )
+
+
 def _find_weight_file(folder: str) -> str:
     for name in (
         "diffusion_pytorch_model.safetensors",
@@ -221,16 +303,23 @@ def load_models(
 
     root = pretrained_model_name_or_path
     tokenizer = CLIPTokenizer.from_pretrained(root, subfolder="tokenizer")
+    ie_path = image_encoder_path or os.path.join(root, "image_encoder")
+    unet_cfg, vae_cfg, text_cfg = _configs_from_checkpoint(
+        root, lora_rank if use_lora else 0, lora_alpha, lora_dropout,
+        use_pallas_attention,
+    )
     modules = build_models(
         extra_num_tokens=extra_num_tokens,
         image_encoder_layers_idx=image_encoder_layers_idx,
-        lora_rank=lora_rank if use_lora else 0,
-        lora_alpha=lora_alpha,
-        lora_dropout=lora_dropout,
         dtype=dtype,
-        use_pallas_attention=use_pallas_attention,
+        unet_config=unet_cfg,
+        vae_config=vae_cfg,
+        text_config=text_cfg,
+        vision_config=_vision_config_from(ie_path),
     )
-    params = init_params(modules, jax.random.PRNGKey(seed))
+    modules = dataclasses.replace(modules, schedule=_schedule_from(root))
+    # param shapes are spatial-size independent; init at a small latent size
+    params = init_params(modules, jax.random.PRNGKey(seed), latent_size=8)
 
     def as_jnp(tree):
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
@@ -240,13 +329,18 @@ def load_models(
         convert_clip_text(text_sd, num_layers=modules.text_encoder.config.num_layers)
     )
     vae_sd = _load_torch_state_dict(_find_weight_file(os.path.join(root, "vae")))
-    params.vae = as_jnp(convert_vae(vae_sd))
+    params.vae = as_jnp(
+        convert_vae(
+            vae_sd,
+            block_out_channels=modules.vae.config.block_out_channels,
+            layers_per_block=modules.vae.config.layers_per_block,
+        )
+    )
     unet_sd = _load_torch_state_dict(_find_weight_file(os.path.join(root, "unet")))
     # fresh PhotoVerse ip projections are not in the SD checkpoint — seed them
     # from the existing init, then overlay converted base weights
     params.unet = _merge_unet(params.unet, unet_sd, modules)
 
-    ie_path = image_encoder_path or os.path.join(root, "image_encoder")
     vis_sd = _load_torch_state_dict(_find_weight_file(ie_path))
     params.vision_encoder = as_jnp(
         convert_clip_vision(vis_sd, num_layers=modules.vision_encoder.config.num_layers)

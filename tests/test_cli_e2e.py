@@ -1,0 +1,234 @@
+"""End-to-end CLI test: build a tiny diffusers-layout SD checkpoint on disk
+(torch state dicts + config.json files + tokenizer vocab), then run the
+generate CLI through load_models -> converters -> inference -> PNGs.
+
+This is BASELINE.md benchmark config 1 ("CPU-runnable generate") at toy
+scale, exercising the same code path as a real SD-1.5 directory.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from tests.test_data import _tiny_tokenizer
+from tests.torch_ref_unet import RefUNet
+from tests.torch_ref_vae import RefVAE
+
+
+def _make_checkpoint(tmp_path):
+    from transformers import CLIPTextConfig as HFTextConfig
+    from transformers import CLIPTextModel
+    from transformers import CLIPVisionConfig as HFVisionConfig
+    from transformers import CLIPVisionModel
+
+    torch.manual_seed(0)
+    root = tmp_path / "sd"
+    # tokenizer (tiny vocab, max_len 16)
+    _tiny_tokenizer(root)
+
+    # text encoder: transformers layout, matching the tokenizer's vocab size
+    tok_vocab = json.loads((root / "tokenizer" / "vocab.json").read_text())
+    text_cfg = HFTextConfig(
+        vocab_size=len(tok_vocab), hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=16, hidden_act="quick_gelu",
+    )
+    text = CLIPTextModel(text_cfg)
+    (root / "text_encoder").mkdir()
+    torch.save(text.state_dict(), root / "text_encoder" / "pytorch_model.bin")
+    (root / "text_encoder" / "config.json").write_text(
+        json.dumps({
+            "vocab_size": len(tok_vocab), "hidden_size": 16,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "intermediate_size": 32, "max_position_embeddings": 16,
+        })
+    )
+
+    # vision encoder
+    vis_cfg = HFVisionConfig(
+        hidden_size=16, num_hidden_layers=4, num_attention_heads=2,
+        intermediate_size=32, image_size=16, patch_size=8,
+        hidden_act="quick_gelu",
+    )
+    vision = CLIPVisionModel(vis_cfg)
+    (root / "image_encoder").mkdir()
+    torch.save(vision.state_dict(), root / "image_encoder" / "pytorch_model.bin")
+    (root / "image_encoder" / "config.json").write_text(
+        json.dumps({
+            "hidden_size": 16, "num_hidden_layers": 4,
+            "num_attention_heads": 2, "intermediate_size": 32,
+            "image_size": 16, "patch_size": 8,
+        })
+    )
+
+    # unet: torch replica state dict needs PhotoVerse processor keys absent
+    # (load_models seeds them from init) — RefUNet already includes them
+    unet = RefUNet(
+        block_out_channels=(16, 32), layers_per_block=1, cross_dim=16,
+        heads=2, groups=8,
+    )
+    (root / "unet").mkdir()
+    torch.save(unet.state_dict(), root / "unet" / "diffusion_pytorch_model.bin")
+    (root / "unet" / "config.json").write_text(
+        json.dumps({
+            "in_channels": 4, "out_channels": 4,
+            "block_out_channels": [16, 32], "layers_per_block": 1,
+            "cross_attention_dim": 16, "attention_head_dim": 2,
+            "norm_num_groups": 8,
+        })
+    )
+
+    vae = RefVAE(ch=(16, 32), layers=2, latent=4, groups=8)
+    (root / "vae").mkdir()
+    torch.save(vae.state_dict(), root / "vae" / "diffusion_pytorch_model.bin")
+    (root / "vae" / "config.json").write_text(
+        json.dumps({
+            "block_out_channels": [16, 32], "layers_per_block": 2,
+            "latent_channels": 4, "norm_num_groups": 8,
+            "scaling_factor": 0.18215,
+        })
+    )
+
+    (root / "scheduler").mkdir()
+    (root / "scheduler" / "scheduler_config.json").write_text(
+        json.dumps({
+            "num_train_timesteps": 1000, "beta_start": 0.00085,
+            "beta_end": 0.012, "beta_schedule": "scaled_linear",
+            "prediction_type": "epsilon", "steps_offset": 1,
+        })
+    )
+    return str(root)
+
+
+def test_unet_attention_head_dim_interpretation(tmp_path):
+    """attention_head_dim in the diffusers config is the HEAD COUNT for
+    SD-1.5-style configs; make sure the loader treats it that way."""
+    from photoverse_tpu.models.assembly import _configs_from_checkpoint
+
+    root = tmp_path / "sd2"
+    (root / "unet").mkdir(parents=True)
+    (root / "unet" / "config.json").write_text(
+        json.dumps({"attention_head_dim": 8, "block_out_channels": [320, 640]})
+    )
+    unet_cfg, _, _ = _configs_from_checkpoint(str(root), 0, 1.0, 0.0, False)
+    assert unet_cfg.num_heads == 8
+    assert unet_cfg.block_out_channels == (320, 640)
+
+
+def test_generate_cli_end_to_end(tmp_path):
+    """Drive the real CLI main(): load -> convert -> denoise -> save PNGs.
+    No photoverse checkpoint (random adapters) — must still produce valid
+    images, like the reference CLI with an untrained adapter."""
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+
+    from photoverse_tpu.cli.generate import main
+
+    results = tmp_path / "out"
+    main([
+        "--model_path", root,
+        "--checkpoint_path", "",
+        "--input_image_path", str(face),
+        "--results_dir", str(results),
+        "--output_image_path", "gen",
+        "--num_timesteps", "3",
+        "--resolution", "32",
+        "--guidance_scale", "2.0",
+        "--negative_prompt", "bad photo",
+        "--num_of_samples", "2",
+        "--encoder_layers_idx", "1", "2", "3", "4",
+        "--seed", "7",
+    ])
+    for i in range(2):
+        p = results / f"gen{i}.png"
+        assert p.exists()
+        img = np.asarray(Image.open(p))
+        assert img.shape == (32, 32, 3)
+
+
+def test_load_models_checkpoint_weights_land(tmp_path):
+    """Converted torch weights (not random init) must land in the param
+    trees — verify one leaf per model family."""
+    root = _make_checkpoint(tmp_path)
+    import photoverse_tpu.models.assembly as assembly
+
+    _, modules, params, _ = assembly.load_models(
+        root, extra_num_tokens=4, image_encoder_layers_idx=(1, 2, 3, 4)
+    )
+    text_sd = torch.load(
+        os.path.join(root, "text_encoder", "pytorch_model.bin"), weights_only=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(params.text_encoder["token_embedding"]),
+        text_sd["text_model.embeddings.token_embedding.weight"].numpy(),
+        atol=1e-6,
+    )
+    unet_sd = torch.load(
+        os.path.join(root, "unet", "diffusion_pytorch_model.bin"), weights_only=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(params.unet["conv_in"]["kernel"]),
+        unet_sd["conv_in.weight"].numpy().transpose(2, 3, 1, 0),
+        atol=1e-6,
+    )
+    vae_sd = torch.load(
+        os.path.join(root, "vae", "diffusion_pytorch_model.bin"), weights_only=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(params.vae["encoder"]["conv_in"]["kernel"]),
+        vae_sd["encoder.conv_in.weight"].numpy().transpose(2, 3, 1, 0),
+        atol=1e-6,
+    )
+    # PhotoVerse ip projections came from the torch replica's processor keys
+    np.testing.assert_allclose(
+        np.asarray(params.unet["mid_attn"]["attn2"]["to_k_ip"]["kernel"]),
+        unet_sd[
+            "mid_block.attentions.0.transformer_blocks.0.attn2.processor.to_k_ip.0.weight"
+        ].numpy().T,
+        atol=1e-6,
+    )
+
+
+def test_train_cli_end_to_end(tmp_path):
+    """Drive the real training CLI for 3 steps on a tiny checkpoint +
+    dataset: verifies data loading, jitted train step over the mesh,
+    metric logging, and checkpoint writing (reference train.py flow)."""
+    root = _make_checkpoint(tmp_path)
+    data_root = tmp_path / "ds"
+    (data_root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            data_root / "images" / f"{i}.jpg"
+        )
+
+    from photoverse_tpu.cli.train import main
+
+    out_dir = tmp_path / "run"
+    main([
+        "--pretrained_model_name_or_path", root,
+        "--data_root_path", str(data_root),
+        "--output_dir", str(out_dir),
+        "--resolution", "32",
+        "--train_batch_size", "2",
+        "--max_train_steps", "3",
+        "--checkpoint_save_steps", "2",
+        "--samples_save_steps", "1000",
+        "--learning_rate", "1e-4",
+        "--use_lora", "--lora_rank", "2",
+        "--image_encoder_layers_idx", "1", "2", "3", "4",
+        "--dataloader_num_workers", "1",
+        "--seed", "0",
+    ])
+    metrics = (out_dir / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(metrics) >= 3
+    rec = json.loads(metrics[-1])
+    assert "loss_mle" in rec and np.isfinite(rec["loss_mle"])
+    assert (out_dir / "photoverse_000002.msgpack").exists()
+    assert (out_dir / "photoverse.msgpack").exists()
