@@ -42,8 +42,15 @@ def main():
     from photoverse_tpu.engine.inference import run_inference
     from photoverse_tpu.models.assembly import build_models, init_params
 
+    import sys
+
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
+    note("building models")
     modules = build_models(dtype=jnp.bfloat16)
     params = init_params(modules, jax.random.PRNGKey(0))
+    note("params initialized")
     solver = DPMSolverMultistep.create(modules.schedule, STEPS)
 
     rng = np.random.RandomState(0)
@@ -63,8 +70,12 @@ def main():
         )
 
     jgen = jax.jit(gen)
+    import time as _t
+
+    t_c = _t.perf_counter()
     out = jgen(params, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
+    note(f"pipeline compiled+first run in {_t.perf_counter() - t_c:.1f}s")
     for i in range(WARMUP_ITERS):
         jax.block_until_ready(jgen(params, jax.random.PRNGKey(2 + i)))
 

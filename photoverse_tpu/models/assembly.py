@@ -128,8 +128,55 @@ def build_models(
     )
 
 
+def _numpy_fill(shape_tree, seed: int):
+    """Fill a ShapeDtypeStruct tree with numpy-initialized arrays.
+
+    Running `module.init` at SD scale is a full trace+compile of the model
+    graph (measured 310s through the TPU tunnel, minutes on the 1-core
+    host), so instead the shapes come from `jax.eval_shape` (abstract, no
+    compile) and the values from numpy, matching flax's defaults by param
+    name/shape: zeros for biases/lora_B, ones for norm scales/BN var,
+    N(0, 0.02) for embeddings, fan-in-scaled init for kernels."""
+    rng = np.random.default_rng(seed)
+
+    def fill(path, sds):
+        names = [getattr(p, "key", "") for p in path]
+        name = names[-1]
+        shape, dtype = sds.shape, sds.dtype
+
+        def arr(x):
+            return jnp.asarray(np.asarray(x, dtype=np.float32), dtype=dtype)
+
+        if name in ("bias",) or name.endswith("_b") or name == "mean":
+            return arr(np.zeros(shape))
+        if name in ("scale", "var") or name.endswith("_g"):
+            return arr(np.ones(shape))
+        if name == "lora_B":
+            return arr(np.zeros(shape))
+        if "prelu" in names or name == "weight":
+            return arr(np.full(shape, 0.25))
+        if "embedding" in name:
+            return arr(rng.standard_normal(shape, dtype=np.float32) * 0.02)
+        if name == "lora_A":
+            lim = np.sqrt(6.0 / shape[0])
+            return arr(rng.uniform(-lim, lim, shape))
+        if len(shape) >= 2:  # dense/conv/stacked kernels: lecun normal
+            fan_in = int(np.prod(shape[:-1])) if len(shape) != 3 else shape[-2]
+            if len(shape) == 4:  # conv (kh, kw, in, out)
+                fan_in = shape[0] * shape[1] * shape[2]
+            elif len(shape) == 2:
+                fan_in = shape[0]
+            return arr(
+                rng.standard_normal(shape, dtype=np.float32)
+                * np.float32(np.sqrt(1.0 / max(fan_in, 1)))
+            )
+        return arr(np.zeros(shape))
+
+    return jax.tree_util.tree_map_with_path(fill, shape_tree)
+
+
 def init_params(
-    modules: PhotoVerseModules, rng: jax.Array, latent_size: int = 64
+    modules: PhotoVerseModules, rng: jax.Array, latent_size: int = 64,
 ) -> PhotoVerseParams:
     """Random-initialized parameter bundle (shapes at SD scale by default)."""
     ks = jax.random.split(rng, 6)
@@ -138,27 +185,35 @@ def init_params(
     u_cfg = modules.unet.config
     K = modules.num_tokens
     ids = jnp.zeros((1, t_cfg.max_position_embeddings), jnp.int32)
-    text_params = modules.text_encoder.init(ks[0], ids)["params"]
+    seed = int(np.asarray(jax.random.key_data(ks[0]))[-1])
+    shapes = {}
+    shapes["text_encoder"] = jax.eval_shape(
+        lambda: modules.text_encoder.init(ks[0], ids)["params"]
+    )
     px = jnp.zeros((1, v_cfg.image_size, v_cfg.image_size, 3))
-    vision_params = modules.vision_encoder.init(ks[1], px)["params"]
+    shapes["vision_encoder"] = jax.eval_shape(
+        lambda: modules.vision_encoder.init(ks[1], px)["params"]
+    )
     sample = jnp.zeros((1, latent_size, latent_size, u_cfg.in_channels))
     text_ctx = jnp.zeros((1, t_cfg.max_position_embeddings, u_cfg.cross_attention_dim))
     id_ctx = jnp.zeros((1, K, u_cfg.cross_attention_dim))
-    unet_params = modules.unet.init(
-        ks[2], sample, jnp.zeros((1,), jnp.int32), text_ctx, id_ctx
-    )["params"]
+    shapes["unet"] = jax.eval_shape(
+        lambda: modules.unet.init(
+            ks[2], sample, jnp.zeros((1,), jnp.int32), text_ctx, id_ctx
+        )["params"]
+    )
     img = jnp.zeros((1, latent_size * 8, latent_size * 8, 3))
-    vae_params = modules.vae.init(ks[3], img, ks[3])["params"]
+    shapes["vae"] = jax.eval_shape(lambda: modules.vae.init(ks[3], img, ks[3])["params"])
     embs = jnp.zeros((K, 1, v_cfg.seq_len, v_cfg.hidden_size))
-    ta = modules.text_adapter.init(ks[4], embs)["params"]
-    ia = modules.image_adapter.init(ks[5], embs)["params"]
+    shapes["text_adapter"] = jax.eval_shape(
+        lambda: modules.text_adapter.init(ks[4], embs)["params"]
+    )
+    shapes["image_adapter"] = jax.eval_shape(
+        lambda: modules.image_adapter.init(ks[5], embs)["params"]
+    )
     return PhotoVerseParams(
-        text_encoder=text_params,
-        vision_encoder=vision_params,
-        unet=unet_params,
-        vae=vae_params,
-        text_adapter=ta,
-        image_adapter=ia,
+        **{name: _numpy_fill(tree, seed + i)
+           for i, (name, tree) in enumerate(shapes.items())}
     )
 
 
