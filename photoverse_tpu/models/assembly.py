@@ -110,7 +110,7 @@ def build_models(
         text_encoder=CLIPTextEncoder(config=text_cfg, dtype=dtype),
         vision_encoder=CLIPVisionEncoder(config=vision_cfg, dtype=dtype),
         unet=UNet2DCondition(config=unet_cfg, dtype=dtype),
-        vae=AutoencoderKL(config=vae_cfg),
+        vae=AutoencoderKL(config=vae_cfg, dtype=dtype),
         text_adapter=PhotoVerseAdapter(
             clip_embedding_dim=vision_cfg.hidden_size,
             cross_attention_dim=unet_cfg.cross_attention_dim,

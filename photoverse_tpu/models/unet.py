@@ -197,14 +197,22 @@ class DualCrossAttention(nn.Module):
         v_ip = nn.Dense(C, use_bias=False, name="to_v_ip", dtype=self.dtype)(
             id_ctx
         ).reshape(B, -1, H, d)
-        if self.use_pallas and not train:
+        if self.use_pallas:
             from photoverse_tpu.ops.pallas_attention import (
-                dual_context_attention_pallas,
+                dual_context_attention_fused,
             )
 
-            fused = dual_context_attention_pallas(
-                q, k, v, k_ip, v_ip, jnp.asarray([1.0, 1.0], jnp.float32)
-            )
+            if train:
+                # fold the stochastic fusion branch into blend coefficients
+                # (see ops.attention.fuse_outputs for the rule semantics)
+                u = fusion_u.astype(jnp.float32)
+                s = jnp.float32(self.fusion_scale)
+                c_text = jnp.where(u < 1 / 3, s, jnp.where(u > 2 / 3, 0.0, 1.0))
+                c_id = jnp.where(u < 1 / 3, 0.0, jnp.where(u > 2 / 3, s, 1.0))
+                coefs = jnp.stack([c_text, c_id])
+            else:
+                coefs = jnp.asarray([1.0, 1.0], jnp.float32)
+            fused = dual_context_attention_fused(q, k, v, k_ip, v_ip, coefs)
             v_ip_norm = jnp.sqrt(
                 jnp.sum(jnp.square(v_ip.astype(jnp.float32)), axis=-1)
             ).transpose(0, 2, 1)

@@ -35,10 +35,12 @@ class VAEConfig:
 
 
 def _gn(name: str, groups: int = 32) -> nn.GroupNorm:
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name)
+    # norm statistics in f32 regardless of compute dtype
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=jnp.float32)
 
 
-def _conv(features: int, kernel: int, name: str, stride: int = 1, padding=None):
+def _conv(features: int, kernel: int, name: str, stride: int = 1, padding=None,
+          dtype=jnp.float32):
     if padding is None:
         padding = kernel // 2
     return nn.Conv(
@@ -47,22 +49,25 @@ def _conv(features: int, kernel: int, name: str, stride: int = 1, padding=None):
         strides=(stride, stride),
         padding=padding if isinstance(padding, str) else [(padding, padding)] * 2,
         name=name,
+        dtype=dtype,
     )
 
 
 class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = jax.nn.silu(_gn("norm1", self.groups)(x))
-        h = _conv(self.out_channels, 3, "conv1")(h)
-        h = jax.nn.silu(_gn("norm2", self.groups)(h))
-        h = _conv(self.out_channels, 3, "conv2")(h)
+        h = jax.nn.silu(_gn("norm1", self.groups)(x)).astype(self.dtype)
+        h = _conv(self.out_channels, 3, "conv1", dtype=self.dtype)(h)
+        h = jax.nn.silu(_gn("norm2", self.groups)(h)).astype(self.dtype)
+        h = _conv(self.out_channels, 3, "conv2", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
-            x = _conv(self.out_channels, 1, "conv_shortcut", padding=0)(x)
-        return x + h
+            x = _conv(self.out_channels, 1, "conv_shortcut", padding=0,
+                      dtype=self.dtype)(x)
+        return x.astype(self.dtype) + h
 
 
 class AttnBlock(nn.Module):
@@ -70,23 +75,25 @@ class AttnBlock(nn.Module):
 
     channels: int
     groups: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
-        h = _gn("group_norm", self.groups)(x).reshape(B, H * W, C)
-        q = nn.Dense(C, name="to_q")(h)
-        k = nn.Dense(C, name="to_k")(h)
-        v = nn.Dense(C, name="to_v")(h)
+        h = _gn("group_norm", self.groups)(x).reshape(B, H * W, C).astype(self.dtype)
+        q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
+        k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
+        v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
         scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
         probs = jax.nn.softmax(scores * (C**-0.5), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32)
-        out = nn.Dense(C, name="to_out")(ctx.astype(x.dtype))
-        return x + out.reshape(B, H, W, C)
+        out = nn.Dense(C, name="to_out", dtype=self.dtype)(ctx.astype(self.dtype))
+        return x.astype(self.dtype) + out.reshape(B, H, W, C)
 
 
 class Downsample(nn.Module):
     channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -94,73 +101,86 @@ class Downsample(nn.Module):
         # SD VAE downsampler exactly
         x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding="VALID", name="conv"
+            self.channels, (3, 3), strides=(2, 2), padding="VALID", name="conv",
+            dtype=self.dtype,
         )(x)
 
 
 class Upsample(nn.Module):
     channels: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
-        return _conv(self.channels, 3, "conv")(x)
+        return _conv(self.channels, 3, "conv", dtype=self.dtype)(x)
 
 
 class MidBlock(nn.Module):
     channels: int
     groups: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = ResnetBlock(self.channels, self.groups, name="resnet_0")(x)
-        x = AttnBlock(self.channels, self.groups, name="attn")(x)
-        return ResnetBlock(self.channels, self.groups, name="resnet_1")(x)
+        x = ResnetBlock(self.channels, self.groups, self.dtype, name="resnet_0")(x)
+        x = AttnBlock(self.channels, self.groups, self.dtype, name="attn")(x)
+        return ResnetBlock(self.channels, self.groups, self.dtype, name="resnet_1")(x)
 
 
 class Encoder(nn.Module):
     config: VAEConfig = VAEConfig()
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        dt = self.dtype
         ch = cfg.block_out_channels
-        x = _conv(ch[0], 3, "conv_in")(x)
+        x = _conv(ch[0], 3, "conv_in", dtype=dt)(x.astype(dt))
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock(c, cfg.norm_num_groups, name=f"down_{i}_res_{j}")(x)
+                x = ResnetBlock(c, cfg.norm_num_groups, dt, name=f"down_{i}_res_{j}")(x)
             if i < len(ch) - 1:
-                x = Downsample(c, name=f"down_{i}_downsample")(x)
-        x = MidBlock(ch[-1], cfg.norm_num_groups, name="mid")(x)
-        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x))
-        return _conv(2 * cfg.latent_channels, 3, "conv_out")(x)
+                x = Downsample(c, dt, name=f"down_{i}_downsample")(x)
+        x = MidBlock(ch[-1], cfg.norm_num_groups, dt, name="mid")(x)
+        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(dt)
+        # moments in f32: logvar feeds exp()
+        return _conv(2 * cfg.latent_channels, 3, "conv_out", dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
 
 
 class Decoder(nn.Module):
     config: VAEConfig = VAEConfig()
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
+        dt = self.dtype
         ch = list(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
-        x = _conv(ch[0], 3, "conv_in")(z)
-        x = MidBlock(ch[0], cfg.norm_num_groups, name="mid")(x)
+        x = _conv(ch[0], 3, "conv_in", dtype=dt)(z.astype(dt))
+        x = MidBlock(ch[0], cfg.norm_num_groups, dt, name="mid")(x)
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock(c, cfg.norm_num_groups, name=f"up_{i}_res_{j}")(x)
+                x = ResnetBlock(c, cfg.norm_num_groups, dt, name=f"up_{i}_res_{j}")(x)
             if i < len(ch) - 1:
-                x = Upsample(c, name=f"up_{i}_upsample")(x)
-        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x))
-        return _conv(cfg.out_channels, 3, "conv_out")(x)
+                x = Upsample(c, dt, name=f"up_{i}_upsample")(x)
+        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(dt)
+        return _conv(cfg.out_channels, 3, "conv_out", dtype=jnp.float32)(
+            x.astype(jnp.float32)
+        )
 
 
 class AutoencoderKL(nn.Module):
     config: VAEConfig = VAEConfig()
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.encoder = Encoder(self.config, name="encoder")
-        self.decoder = Decoder(self.config, name="decoder")
+        self.encoder = Encoder(self.config, self.dtype, name="encoder")
+        self.decoder = Decoder(self.config, self.dtype, name="decoder")
         self.quant_conv = nn.Conv(
             2 * self.config.latent_channels, (1, 1), padding="VALID", name="quant_conv"
         )

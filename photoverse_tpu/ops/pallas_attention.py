@@ -111,3 +111,61 @@ def dual_context_attention_pallas(
         coefs.astype(jnp.float32),
     )
     return out.reshape(B, H, Sq, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: Pallas forward, jnp backward (recompute)
+# ---------------------------------------------------------------------------
+
+
+def _jnp_forward(q, kt, vt, ki, vi, coefs):
+    from photoverse_tpu.ops.attention import sdpa
+
+    return coefs[0] * sdpa(q, kt, vt) + coefs[1] * sdpa(q, ki, vi)
+
+
+def _attn_bwd_one(q, k, v, g):
+    """Gradients of softmax attention out = P @ v wrt (q, k, v)."""
+    d = q.shape[-1]
+    scale = d**-0.5
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1)
+    gf = g.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p, gf)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * scale
+    return dq, dk, dv
+
+
+@jax.custom_vjp
+def dual_context_attention_fused(q, k_text, v_text, k_id, v_id, coefs):
+    """Differentiable fused dual-context attention (Pallas fwd, jnp bwd)."""
+    return dual_context_attention_pallas(q, k_text, v_text, k_id, v_id, coefs)
+
+
+def _fwd(q, kt, vt, ki, vi, coefs):
+    out = dual_context_attention_pallas(q, kt, vt, ki, vi, coefs)
+    return out, (q, kt, vt, ki, vi, coefs)
+
+
+def _bwd(res, g):
+    q, kt, vt, ki, vi, coefs = res
+    dq_t, dkt, dvt = _attn_bwd_one(q, kt, vt, g)
+    dq_i, dki, dvi = _attn_bwd_one(q, ki, vi, g)
+    c0 = coefs[0].astype(jnp.float32)
+    c1 = coefs[1].astype(jnp.float32)
+    dq = (c0 * dq_t + c1 * dq_i).astype(q.dtype)
+    return (
+        dq,
+        (c0 * dkt).astype(kt.dtype),
+        (c0 * dvt).astype(vt.dtype),
+        (c1 * dki).astype(ki.dtype),
+        (c1 * dvi).astype(vi.dtype),
+        jnp.zeros_like(coefs),
+    )
+
+
+dual_context_attention_fused.defvjp(_fwd, _bwd)
