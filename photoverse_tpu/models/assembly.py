@@ -92,6 +92,8 @@ def build_models(
     lora_dropout: float = 0.0,
     dtype: jnp.dtype = jnp.float32,
     use_pallas_attention: bool = False,
+    use_flash_attention: bool = False,
+    fast_attention_scores: bool = False,
     unet_config: Optional[UNetConfig] = None,
     vae_config: Optional[VAEConfig] = None,
     text_config: Optional[CLIPTextConfig] = None,
@@ -101,6 +103,8 @@ def build_models(
     unet_cfg = unet_config or UNetConfig(
         lora_rank=lora_rank, lora_alpha=lora_alpha, lora_dropout=lora_dropout,
         use_pallas_attention=use_pallas_attention,
+        use_flash_attention=use_flash_attention,
+        fast_attention_scores=fast_attention_scores,
     )
     vae_cfg = vae_config or VAEConfig()
     text_cfg = text_config or CLIPTextConfig()

@@ -53,6 +53,14 @@ class UNetConfig:
     fusion_rule2: float = 2.0 / 3.0
     # fused Pallas dual-context attention for the inference path (TPU)
     use_pallas_attention: bool = False
+    # rematerialize resnet/transformer blocks (activation checkpointing) —
+    # trades FLOPs for HBM in large-batch training
+    remat: bool = False
+    # Pallas flash attention for long self-attention sequences (TPU)
+    use_flash_attention: bool = False
+    # store attention scores/probs in bf16 (halves self-attention HBM
+    # traffic; ~6e-5 output deviation — inference fast path)
+    fast_attention_scores: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -135,8 +143,16 @@ class _LoraDense(nn.Module):
 
 
 class SelfAttention(nn.Module):
+    """attn1. With use_flash, long sequences go through the Pallas TPU flash
+    attention kernel — the jnp path materializes (B, H, S, S) f32 scores in
+    HBM, which at the 64x64 latent level (S=4096) is ~2 GB per layer and is
+    what makes the naive UNet forward bandwidth-bound."""
+
     channels: int
     num_heads: int
+    use_flash: bool = False
+    flash_min_seq: int = 1024
+    fast_scores: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -147,7 +163,20 @@ class SelfAttention(nn.Module):
         q = nn.Dense(C, use_bias=False, name="to_q", dtype=self.dtype)(x).reshape(B, S, H, d)
         k = nn.Dense(C, use_bias=False, name="to_k", dtype=self.dtype)(x).reshape(B, S, H, d)
         v = nn.Dense(C, use_bias=False, name="to_v", dtype=self.dtype)(x).reshape(B, S, H, d)
-        out = sdpa(q, k, v).reshape(B, S, C)
+        if self.use_flash and S >= self.flash_min_seq:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                sm_scale=d**-0.5,
+            ).transpose(0, 2, 1, 3)
+        else:
+            out = sdpa(q, k, v, fast_scores=self.fast_scores)
+        out = out.reshape(B, S, C)
         return nn.Dense(C, name="to_out", dtype=self.dtype)(out)
 
 
@@ -167,6 +196,7 @@ class DualCrossAttention(nn.Module):
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
     use_pallas: bool = False
+    train: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -175,10 +205,9 @@ class DualCrossAttention(nn.Module):
         x: jnp.ndarray,  # (B, S, C)
         text_ctx: jnp.ndarray,  # (B, St, cross_dim)
         id_ctx: jnp.ndarray,  # (B, K, cross_dim)
-        *,
-        train: bool = False,
-        fusion_u: Optional[jnp.ndarray] = None,
+        fusion_u: jnp.ndarray,  # scalar uniform (ignored in eval)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        train = self.train
         B, S, C = x.shape
         H = self.num_heads
         d = C // H
@@ -189,8 +218,12 @@ class DualCrossAttention(nn.Module):
             dtype=self.dtype,
         )
         q = _LoraDense(C, name="to_q", **lora_kw)(x, train).reshape(B, S, H, d)
-        k = _LoraDense(C, name="to_k", **lora_kw)(text_ctx, train).reshape(B, -1, H, d)
-        v = _LoraDense(C, name="to_v", **lora_kw)(text_ctx, train).reshape(B, -1, H, d)
+        k = _LoraDense(C, name="to_k", **lora_kw)(text_ctx, train).reshape(
+            B, -1, H, d
+        )
+        v = _LoraDense(C, name="to_v", **lora_kw)(text_ctx, train).reshape(
+            B, -1, H, d
+        )
         k_ip = nn.Dense(C, use_bias=False, name="to_k_ip", dtype=self.dtype)(
             id_ctx
         ).reshape(B, -1, H, d)
@@ -236,6 +269,9 @@ class TransformerBlock(nn.Module):
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
     use_pallas: bool = False
+    use_flash: bool = False
+    fast_scores: bool = False
+    train: bool = False
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
@@ -245,9 +281,7 @@ class TransformerBlock(nn.Module):
         x: jnp.ndarray,  # (B, H, W, C)
         text_ctx: jnp.ndarray,
         id_ctx: jnp.ndarray,
-        *,
-        train: bool = False,
-        fusion_u: Optional[jnp.ndarray] = None,
+        fusion_u: jnp.ndarray,  # scalar uniform (ignored in eval)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, Hh, Ww, C = x.shape
         residual = x
@@ -256,9 +290,11 @@ class TransformerBlock(nn.Module):
         h = h.reshape(B, Hh * Ww, C)
 
         ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name, dtype=jnp.float32)
-        h = h + SelfAttention(C, self.num_heads, name="attn1", dtype=self.dtype)(
-            ln("norm1")(h).astype(self.dtype)
-        )
+        h = h + SelfAttention(
+            C, self.num_heads, use_flash=self.use_flash,
+            fast_scores=self.fast_scores, name="attn1",
+            dtype=self.dtype,
+        )(ln("norm1")(h).astype(self.dtype))
         attn2_out, v_ip_norm = DualCrossAttention(
             C,
             self.num_heads,
@@ -268,9 +304,10 @@ class TransformerBlock(nn.Module):
             lora_dropout=self.lora_dropout,
             fusion_scale=self.fusion_scale,
             use_pallas=self.use_pallas,
+            train=self.train,
             name="attn2",
             dtype=self.dtype,
-        )(ln("norm2")(h).astype(self.dtype), text_ctx, id_ctx, train=train, fusion_u=fusion_u)
+        )(ln("norm2")(h).astype(self.dtype), text_ctx, id_ctx, fusion_u)
         h = h + attn2_out
 
         # GEGLU feed-forward
@@ -317,9 +354,9 @@ class UNet2DCondition(nn.Module):
             raise ValueError("fusion_rng is required when train=True")
         fusion_counter = [0]
 
-        def next_fusion_u() -> Optional[jnp.ndarray]:
+        def next_fusion_u() -> jnp.ndarray:
             if not train:
-                return None
+                return jnp.zeros(())  # unused in eval (fusion is a sum)
             key = jax.random.fold_in(fusion_rng, fusion_counter[0])
             fusion_counter[0] += 1
             return jax.random.uniform(key, ())
@@ -333,6 +370,8 @@ class UNet2DCondition(nn.Module):
             jax.nn.silu(temb)
         )
 
+        ResnetB = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        TransformerB = nn.remat(TransformerBlock) if cfg.remat else TransformerBlock
         tf_kw = dict(
             num_heads=cfg.num_heads,
             cross_dim=cfg.cross_attention_dim,
@@ -341,6 +380,9 @@ class UNet2DCondition(nn.Module):
             lora_dropout=cfg.lora_dropout,
             fusion_scale=cfg.fusion_scale,
             use_pallas=cfg.use_pallas_attention,
+            use_flash=cfg.use_flash_attention,
+            fast_scores=cfg.fast_attention_scores,
+            train=train,
             groups=cfg.norm_num_groups,
             dtype=self.dtype,
         )
@@ -355,12 +397,12 @@ class UNet2DCondition(nn.Module):
         for i, c in enumerate(ch):
             has_attn = i < n_blocks - 1
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock(
+                x = ResnetB(
                     c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", dtype=self.dtype
                 )(x, temb)
                 if has_attn:
-                    x, vn = TransformerBlock(c, name=f"down_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, train=train, fusion_u=next_fusion_u()
+                    x, vn = TransformerB(c, name=f"down_{i}_attn_{j}", **tf_kw)(
+                        x, text_ctx, id_ctx, next_fusion_u()
                     )
                     norms.append(vn)
                 skips.append(x)
@@ -373,14 +415,14 @@ class UNet2DCondition(nn.Module):
                 skips.append(x)
 
         # mid
-        x = ResnetBlock(ch[-1], cfg.norm_num_groups, name="mid_res_0", dtype=self.dtype)(
+        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_0", dtype=self.dtype)(
             x, temb
         )
-        x, vn = TransformerBlock(ch[-1], name="mid_attn", **tf_kw)(
-            x, text_ctx, id_ctx, train=train, fusion_u=next_fusion_u()
+        x, vn = TransformerB(ch[-1], name="mid_attn", **tf_kw)(
+            x, text_ctx, id_ctx, next_fusion_u()
         )
         norms.append(vn)
-        x = ResnetBlock(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype)(
+        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype)(
             x, temb
         )
 
@@ -391,12 +433,12 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
-                x = ResnetBlock(
+                x = ResnetB(
                     c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", dtype=self.dtype
                 )(x, temb)
                 if has_attn:
-                    x, vn = TransformerBlock(c, name=f"up_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, train=train, fusion_u=next_fusion_u()
+                    x, vn = TransformerB(c, name=f"up_{i}_attn_{j}", **tf_kw)(
+                        x, text_ctx, id_ctx, next_fusion_u()
                     )
                     norms.append(vn)
             if i < n_blocks - 1:

@@ -1,7 +1,8 @@
 """Microbenchmark: jnp vs fused-Pallas dual-context attention on TPU.
 
-Sweeps the SD-1.5 UNet cross-attention shapes (per-level spatial sizes and
-head dims) at a given batch and prints per-shape timings.
+Iterations are serialized *inside* one jit (the input is perturbed by the
+previous output) so the axon tunnel's per-dispatch latency doesn't pollute
+the numbers.
 """
 
 import time
@@ -25,16 +26,22 @@ SHAPES = [
 B = 8
 ST, K = 77, 5
 DTYPE = jnp.bfloat16
+ITERS = 30
 
 
-def timeit(fn, *args, iters=50):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def timeit(fn, q, *rest):
+    def looped(q, *rest):
+        def body(i, carry):
+            out = fn(q + carry.astype(q.dtype) * 1e-20, *rest)
+            return jnp.sum(out.astype(jnp.float32))
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
+
+    f = jax.jit(looped)
+    jax.block_until_ready(f(q, *rest))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    jax.block_until_ready(f(q, *rest))
+    return (time.perf_counter() - t0) / ITERS
 
 
 def main():
@@ -45,29 +52,21 @@ def main():
         q, kt, vt = mk(B, Sq, H, d), mk(B, ST, H, d), mk(B, ST, H, d)
         ki, vi = mk(B, K, H, d), mk(B, K, H, d)
 
-        jnp_fn = jax.jit(
+        t_jnp = timeit(
             lambda q, kt, vt, ki, vi: dual_context_attention(
                 q, kt, vt, ki, vi, train=False
-            )[0]
+            )[0],
+            q, kt, vt, ki, vi,
         )
-        pallas_fn = jax.jit(
+        t_pal = timeit(
             lambda q, kt, vt, ki, vi: dual_context_attention_pallas(
                 q, kt, vt, ki, vi, coefs
-            )
-        )
-        t_jnp = timeit(jnp_fn, q, kt, vt, ki, vi)
-        t_pal = timeit(pallas_fn, q, kt, vt, ki, vi)
-        err = float(
-            jnp.max(
-                jnp.abs(
-                    jnp_fn(q, kt, vt, ki, vi).astype(jnp.float32)
-                    - pallas_fn(q, kt, vt, ki, vi).astype(jnp.float32)
-                )
-            )
+            ),
+            q, kt, vt, ki, vi,
         )
         print(
             f"Sq={Sq:5d} d={d:3d}: jnp {t_jnp*1e6:8.1f}us  "
-            f"pallas {t_pal*1e6:8.1f}us  speedup {t_jnp/t_pal:5.2f}x  maxerr {err:.2e}"
+            f"pallas {t_pal*1e6:8.1f}us  speedup {t_jnp/t_pal:5.2f}x"
         )
 
 

@@ -168,3 +168,40 @@ def test_pallas_unet_matches_default(pair):
         got, norms2 = unet_p.apply({"params": params}, s, t, tc, ic)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(norms1), np.asarray(norms2), rtol=1e-4, atol=1e-5)
+
+
+def test_remat_unet_train_matches_and_grads_flow():
+    """remat=True must be numerically identical and differentiable."""
+    cfg = UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1, cross_attention_dim=16,
+        num_heads=2, norm_num_groups=8,
+    )
+    cfg_r = UNetConfig(
+        block_out_channels=(32, 64), layers_per_block=1, cross_attention_dim=16,
+        num_heads=2, norm_num_groups=8, remat=True,
+    )
+    u, ur = UNet2DCondition(cfg), UNet2DCondition(cfg_r)
+    rng = np.random.RandomState(11)
+    s = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
+    t = jnp.asarray([9])
+    tc = jnp.asarray(rng.randn(1, 7, 16).astype(np.float32))
+    ic = jnp.asarray(rng.randn(1, 3, 16).astype(np.float32))
+    params = u.init(jax.random.PRNGKey(0), s, t, tc, ic)["params"]
+
+    key = jax.random.PRNGKey(3)
+    o1, n1 = u.apply({"params": params}, s, t, tc, ic, train=True, fusion_rng=key)
+    o2, n2 = ur.apply({"params": params}, s, t, tc, ic, train=True, fusion_rng=key)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=1e-5, atol=1e-6)
+
+    def loss(p, mod):
+        o, _ = mod.apply({"params": p}, s, t, tc, ic, train=True, fusion_rng=key)
+        return jnp.mean(jnp.square(o))
+
+    g1 = jax.grad(loss)(params, u)
+    g2 = jax.grad(loss)(params, ur)
+    for (k1, a), (k2, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g1)),
+        sorted(jax.tree_util.tree_leaves_with_path(g2)),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
