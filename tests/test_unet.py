@@ -200,8 +200,10 @@ def test_remat_unet_train_matches_and_grads_flow():
 
     g1 = jax.grad(loss)(params, u)
     g2 = jax.grad(loss)(params, ur)
-    for (k1, a), (k2, b) in zip(
-        sorted(jax.tree_util.tree_leaves_with_path(g1)),
-        sorted(jax.tree_util.tree_leaves_with_path(g2)),
-    ):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        g1,
+        g2,
+    )
