@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_TORCH_IMGS_PER_SEC = 1.0  # estimated reference throughput (see docstring)
 
-BATCH = 16  # conv MXU utilization needs batch >= 16 (PERFORMANCE.md)
+BATCH = 32  # conv MXU utilization grows with batch (PERFORMANCE.md)
 STEPS = 50
 GUIDANCE = 1.0  # reference default (generate.py:25, README.md:79)
 WARMUP_ITERS = 1
@@ -48,7 +48,8 @@ def main():
         print(f"# {msg}", file=sys.stderr, flush=True)
 
     note("building models")
-    modules = build_models(dtype=jnp.bfloat16, fast_attention_scores=True)
+    modules = build_models(dtype=jnp.bfloat16, fast_attention_scores=True,
+                           use_flash_attention=True)
     params = init_params(modules, jax.random.PRNGKey(0))
     note("params initialized")
     solver = DPMSolverMultistep.create(modules.schedule, STEPS)

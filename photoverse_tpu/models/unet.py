@@ -164,16 +164,11 @@ class SelfAttention(nn.Module):
         k = nn.Dense(C, use_bias=False, name="to_k", dtype=self.dtype)(x).reshape(B, S, H, d)
         v = nn.Dense(C, use_bias=False, name="to_v", dtype=self.dtype)(x).reshape(B, S, H, d)
         if self.use_flash and S >= self.flash_min_seq:
-            from jax.experimental.pallas.ops.tpu.flash_attention import (
-                flash_attention,
-            )
+            # custom flash kernel: keeps K/V in VMEM, tuned for the SD UNet's
+            # small head dims (jax's stock kernel pads d 40->128 and loses)
+            from photoverse_tpu.ops.flash_sdpa import flash_sdpa_diff
 
-            out = flash_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                sm_scale=d**-0.5,
-            ).transpose(0, 2, 1, 3)
+            out = flash_sdpa_diff(q, k, v)
         else:
             out = sdpa(q, k, v, fast_scores=self.fast_scores)
         out = out.reshape(B, S, C)

@@ -1,0 +1,121 @@
+"""Flash self-attention for small head dims — Pallas TPU kernel.
+
+The SD-1.5 UNet's self-attention at the 64x64 level is S=4096, d=40: the
+jnp path materializes (B, H, S, S) scores in HBM (~8.6 GB per layer at
+batch 16) and jax's stock flash kernel pads d 40->128 and loses. This
+kernel keeps the full K/V resident in VMEM (S*d is tiny for these shapes),
+tiles queries, and runs the classic online-softmax accumulation so no
+(S, S) tensor ever exists:
+
+  for each q tile:  for each k chunk:  s = q k^T * scale   (TQ, TK) f32
+      m' = max(m, rowmax(s)); p = exp(s - m')
+      acc = acc * exp(m - m') + p v;  l = l * exp(m - m') + rowsum(p)
+  out = acc / l
+
+Used by models.unet.SelfAttention via UNetConfig.use_flash_attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_sdpa"]
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, tk: int):
+    # q_ref: (1, TQ, d); k_ref/v_ref: (1, S, d); out_ref: (1, TQ, d)
+    TQ, d = q_ref.shape[1], q_ref.shape[2]
+    S = k_ref.shape[1]
+    scale = d**-0.5
+    q = q_ref[0].astype(jnp.float32) * scale  # (TQ, d)
+
+    nk = S // tk
+
+    def body(j, carry):
+        acc, m, l = carry
+        k = k_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)  # (TK, d)
+        v = v_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (TQ, TK)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        return acc, m_new, l
+
+    acc0 = jnp.zeros((TQ, d), jnp.float32)
+    m0 = jnp.full((TQ, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((TQ, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, nk, body, (acc0, m0, l0))
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("q_tile", "k_tile"))
+def flash_sdpa(
+    q: jnp.ndarray,  # (B, S, H, d)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_tile: int = 512,
+    k_tile: int = 512,
+) -> jnp.ndarray:
+    """Self-attention without score materialization; returns (B, S, H, d)."""
+    B, S, H, d = q.shape
+    BH = B * H
+    tq = min(q_tile, S)
+    while S % tq:
+        tq -= 1
+    tk = min(k_tile, S)
+    while S % tk:
+        tk -= 1
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(BH, S, d)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    out = pl.pallas_call(
+        functools.partial(_kernel, tk=tk),
+        out_shape=jax.ShapeDtypeStruct((BH, S, d), q.dtype),
+        grid=(BH, S // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * S * S * d,
+            bytes_accessed=4 * BH * S * d * q.dtype.itemsize,
+            transcendentals=BH * S * S,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(B, H, S, d).transpose(0, 2, 1, 3)
+
+
+# differentiable wrapper: Pallas forward, jnp backward (recompute)
+@jax.custom_vjp
+def flash_sdpa_diff(q, k, v):
+    return flash_sdpa(q, k, v)
+
+
+def _fwd(q, k, v):
+    return flash_sdpa(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    from photoverse_tpu.ops.pallas_attention import _attn_bwd_one
+
+    q, k, v = res
+    dq, dk, dv = _attn_bwd_one(q, k, v, g)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_sdpa_diff.defvjp(_fwd, _bwd)

@@ -65,9 +65,16 @@ def conv3x3_same(
     th = min(row_tile, H)
     while H % th:
         th -= 1
-    to = min(out_tile, O)
-    while O % to:
-        to -= 1
+    # Mosaic needs the lane (last) dim of the output block to be a multiple
+    # of 128 or the full dimension
+    if O <= out_tile or O % 128:
+        to = O
+    else:
+        to = 128
+        for cand in range(out_tile - out_tile % 128, 0, -128):
+            if O % cand == 0:
+                to = cand
+                break
 
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
@@ -77,11 +84,16 @@ def conv3x3_same(
         out_shape=jax.ShapeDtypeStruct((B, H, W, O), x.dtype),
         grid=grid,
         in_specs=[
-            # overlapping halo slabs: the row dimension uses pl.Element so
-            # the index map gives an ELEMENT start (i*th) for a (th+2)-row
-            # block — consecutive programs overlap by 2 rows
+            # overlapping halo slabs: Element-indexed blocks (Mosaic requires
+            # all dims to be Element together) — the row start i*th advances
+            # by th while the block spans th+2 rows, so programs overlap by 2
             pl.BlockSpec(
-                (1, pl.Element(th + 2), W + 2, C),
+                (
+                    pl.Element(1),
+                    pl.Element(th + 2),
+                    pl.Element(W + 2),
+                    pl.Element(C),
+                ),
                 index_map=lambda b, i, j: (b, i * th, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
