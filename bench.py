@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_TORCH_IMGS_PER_SEC = 1.0  # estimated reference throughput (see docstring)
 
-BATCH = 32  # conv MXU utilization grows with batch (PERFORMANCE.md)
+BATCH = 16  # conv MXU utilization needs batch >= 16 (PERFORMANCE.md)
 STEPS = 50
 GUIDANCE = 1.0  # reference default (generate.py:25, README.md:79)
 WARMUP_ITERS = 1

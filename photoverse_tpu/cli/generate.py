@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU)")
     p.add_argument("--pallas_attention", action="store_true",
                    help="Fused Pallas dual-context attention (TPU)")
+    p.add_argument("--fast", action="store_true",
+                   help="TPU fast path: bf16 compute + flash self-attention "
+                        "+ bf16 attention scores")
     return p
 
 
@@ -80,7 +83,7 @@ def main(argv=None):
     from photoverse_tpu.models.assembly import load_models
     from photoverse_tpu.utils.image import denormalize, to_pil
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    dtype = jnp.bfloat16 if (args.bf16 or args.fast) else jnp.float32
     ckpt = args.checkpoint_path or None
     if ckpt and not os.path.exists(ckpt):
         raise SystemExit(f"checkpoint not found: {ckpt}")
@@ -91,6 +94,8 @@ def main(argv=None):
         image_encoder_layers_idx=tuple(args.encoder_layers_idx),
         dtype=dtype,
         use_pallas_attention=args.pallas_attention,
+        use_flash_attention=args.fast,
+        fast_attention_scores=args.fast,
     )
     solver = DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
 

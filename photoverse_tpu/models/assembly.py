@@ -342,6 +342,8 @@ def load_models(
     image_encoder_layers_idx: Tuple[int, ...] = (4, 8, 12, 16),
     dtype: jnp.dtype = jnp.float32,
     use_pallas_attention: bool = False,
+    use_flash_attention: bool = False,
+    fast_attention_scores: bool = False,
     seed: int = 0,
 ):
     """Full load path mirroring modeling_utils.py:53-95 for local checkpoints.
@@ -366,6 +368,11 @@ def load_models(
     unet_cfg, vae_cfg, text_cfg = _configs_from_checkpoint(
         root, lora_rank if use_lora else 0, lora_alpha, lora_dropout,
         use_pallas_attention,
+    )
+    unet_cfg = dataclasses.replace(
+        unet_cfg,
+        use_flash_attention=use_flash_attention,
+        fast_attention_scores=fast_attention_scores,
     )
     modules = build_models(
         extra_num_tokens=extra_num_tokens,
