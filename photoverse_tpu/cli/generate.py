@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU)")
     p.add_argument("--pallas_attention", action="store_true",
                    help="Fused Pallas dual-context attention (TPU)")
+    p.add_argument("--ip_adapter_mask_path", type=str, default=None,
+                   help="Optional grayscale mask restricting where identity "
+                        "tokens attend (spatial IP-adapter mask)")
     p.add_argument("--fast", action="store_true",
                    help="TPU fast path: bf16 compute + flash self-attention "
                         "+ bf16 attention scores")
@@ -121,6 +124,14 @@ def main(argv=None):
     B = dev_example["pixel_values"].shape[0]
     uncond_ids = jnp.asarray(tokenizer([""] * B), jnp.int32)
 
+    ip_mask = None
+    if args.ip_adapter_mask_path:
+        from PIL import Image as _Image
+
+        m = _Image.open(args.ip_adapter_mask_path).convert("L")
+        ip_mask = jnp.asarray(np.asarray(m), jnp.float32)[None] / 255.0
+        ip_mask = jnp.repeat(ip_mask, B, axis=0)
+
     seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(4), "little")
     images = jax.jit(
         lambda p, r: run_inference(
@@ -130,6 +141,7 @@ def main(argv=None):
             latent_size=latent_size,
             from_noised_image=args.from_noised_image,
             uncond_input_ids=uncond_ids,
+            ip_mask=ip_mask,
         )
     )(params, jax.random.PRNGKey(seed))
 

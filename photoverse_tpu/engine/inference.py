@@ -72,6 +72,7 @@ def denoise(
     uncond_id_ctx: Optional[jnp.ndarray],
     guidance_scale: float,
     num_grad_steps: int = 0,
+    ip_mask: Optional[jnp.ndarray] = None,  # (B, Hm, Wm) identity mask
 ) -> jnp.ndarray:
     """Full DPM-Solver++ trajectory; optionally the last `num_grad_steps`
     steps run outside the scan with gradients enabled (reference
@@ -82,6 +83,9 @@ def denoise(
     if use_cfg:
         text2 = jnp.concatenate([uncond_text_ctx, text_ctx], axis=0)
         id2 = jnp.concatenate([uncond_id_ctx, id_ctx], axis=0)
+        mask2 = (
+            None if ip_mask is None else jnp.concatenate([ip_mask, ip_mask], axis=0)
+        )
 
     def eps_fn(lat, t):
         tb = jnp.broadcast_to(t, (B,))
@@ -93,11 +97,12 @@ def denoise(
                 jnp.concatenate([tb, tb]),
                 text2,
                 id2,
+                ip_mask=mask2,
             )
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             return eps_u + guidance_scale * (eps_c - eps_u)
         eps, _ = modules.unet.apply(
-            {"params": params.unet}, lat, tb, text_ctx, id_ctx
+            {"params": params.unet}, lat, tb, text_ctx, id_ctx, ip_mask=ip_mask
         )
         return eps
 
@@ -136,6 +141,7 @@ def run_inference(
     from_noised_image: bool = False,
     uncond_input_ids: Optional[jnp.ndarray] = None,
     num_grad_steps: int = 0,
+    ip_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Generate images for a preprocessed example batch.
 
@@ -201,6 +207,7 @@ def run_inference(
         uncond_id_ctx,
         guidance_scale,
         num_grad_steps=num_grad_steps,
+        ip_mask=ip_mask,
     )
 
     images = modules.vae.apply(

@@ -79,6 +79,20 @@ def timestep_embedding(
     return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
 
 
+def _downsample_ip_mask(
+    ip_mask: Optional[jnp.ndarray], B: int, Hh: int, Ww: int
+) -> Optional[jnp.ndarray]:
+    """(B, Hm, Wm) -> (B, Hh*Ww) resized to this block's latent resolution
+    (IPAdapterMaskProcessor.downsample equivalent, reference
+    attention_processor.py:382-390)."""
+    if ip_mask is None:
+        return None
+    m = jax.image.resize(
+        ip_mask.astype(jnp.float32), (B, Hh, Ww), method="bilinear"
+    )
+    return m.reshape(B, Hh * Ww)
+
+
 def _gn(name: str, groups: int, eps: float = 1e-5) -> nn.GroupNorm:
     # normalization statistics in f32 regardless of the compute dtype
     return nn.GroupNorm(num_groups=groups, epsilon=eps, name=name, dtype=jnp.float32)
@@ -201,6 +215,7 @@ class DualCrossAttention(nn.Module):
         text_ctx: jnp.ndarray,  # (B, St, cross_dim)
         id_ctx: jnp.ndarray,  # (B, K, cross_dim)
         fusion_u: jnp.ndarray,  # scalar uniform (ignored in eval)
+        ip_mask: Optional[jnp.ndarray] = None,  # (B, S) spatial identity mask
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         train = self.train
         B, S, C = x.shape
@@ -225,7 +240,20 @@ class DualCrossAttention(nn.Module):
         v_ip = nn.Dense(C, use_bias=False, name="to_v_ip", dtype=self.dtype)(
             id_ctx
         ).reshape(B, -1, H, d)
-        if self.use_pallas:
+        if ip_mask is not None:
+            # masked identity attention (reference attention_processor.py:
+            # 359-390): out = text_attn + scale * (id_attn * downsampled mask);
+            # no stochastic fusion on the masked path
+            from photoverse_tpu.ops.attention import sdpa as _sdpa
+
+            text_out = _sdpa(q, k, v)
+            id_out = _sdpa(q, k_ip, v_ip)
+            mask = ip_mask.astype(text_out.dtype)[:, :, None, None]
+            fused = text_out + self.fusion_scale * (id_out * mask)
+            v_ip_norm = jnp.sqrt(
+                jnp.sum(jnp.square(v_ip.astype(jnp.float32)), axis=-1)
+            ).transpose(0, 2, 1)
+        elif self.use_pallas:
             from photoverse_tpu.ops.pallas_attention import (
                 dual_context_attention_fused,
             )
@@ -277,6 +305,7 @@ class TransformerBlock(nn.Module):
         text_ctx: jnp.ndarray,
         id_ctx: jnp.ndarray,
         fusion_u: jnp.ndarray,  # scalar uniform (ignored in eval)
+        ip_mask: Optional[jnp.ndarray] = None,  # (B, Hm, Wm) in [0, 1]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, Hh, Ww, C = x.shape
         residual = x
@@ -302,7 +331,13 @@ class TransformerBlock(nn.Module):
             train=self.train,
             name="attn2",
             dtype=self.dtype,
-        )(ln("norm2")(h).astype(self.dtype), text_ctx, id_ctx, fusion_u)
+        )(
+            ln("norm2")(h).astype(self.dtype),
+            text_ctx,
+            id_ctx,
+            fusion_u,
+            _downsample_ip_mask(ip_mask, B, Hh, Ww),
+        )
         h = h + attn2_out
 
         # GEGLU feed-forward
@@ -338,6 +373,7 @@ class UNet2DCondition(nn.Module):
         *,
         train: bool = False,
         fusion_rng: Optional[jax.Array] = None,
+        ip_mask: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         ch = cfg.block_out_channels
@@ -397,7 +433,7 @@ class UNet2DCondition(nn.Module):
                 )(x, temb)
                 if has_attn:
                     x, vn = TransformerB(c, name=f"down_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, next_fusion_u()
+                        x, text_ctx, id_ctx, next_fusion_u(), ip_mask
                     )
                     norms.append(vn)
                 skips.append(x)
@@ -414,7 +450,7 @@ class UNet2DCondition(nn.Module):
             x, temb
         )
         x, vn = TransformerB(ch[-1], name="mid_attn", **tf_kw)(
-            x, text_ctx, id_ctx, next_fusion_u()
+            x, text_ctx, id_ctx, next_fusion_u(), ip_mask
         )
         norms.append(vn)
         x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype)(
@@ -433,7 +469,7 @@ class UNet2DCondition(nn.Module):
                 )(x, temb)
                 if has_attn:
                     x, vn = TransformerB(c, name=f"up_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, next_fusion_u()
+                        x, text_ctx, id_ctx, next_fusion_u(), ip_mask
                     )
                     norms.append(vn)
             if i < n_blocks - 1:

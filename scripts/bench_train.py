@@ -28,7 +28,8 @@ REMAT = True
 def main():
     modules = build_models(
         dtype=jnp.bfloat16,
-        unet_config=UNetConfig(lora_rank=128, lora_dropout=0.1, remat=REMAT),
+        unet_config=UNetConfig(lora_rank=128, lora_dropout=0.1, remat=REMAT,
+                               use_flash_attention=True),
     )
     params = init_params(modules, jax.random.PRNGKey(0))
     cfg = TrainConfig(learning_rate=1e-5, max_train_steps=100, lr_warmup_steps=0)

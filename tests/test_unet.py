@@ -207,3 +207,25 @@ def test_remat_unet_train_matches_and_grads_flow():
         g1,
         g2,
     )
+
+
+def test_ip_adapter_mask(pair):
+    """Spatial identity mask: masked-out regions get text-only attention,
+    fully-masked regions get text + scale*identity
+    (reference attention_processor.py:359-390 semantics)."""
+    _, unet, params = pair
+    rng = np.random.RandomState(13)
+    s = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
+    t = jnp.asarray([50])
+    tc = jnp.asarray(rng.randn(1, 7, 16).astype(np.float32))
+    ic = jnp.asarray(rng.randn(1, 3, 16).astype(np.float32))
+    ones = jnp.ones((1, 16, 16))
+    zeros = jnp.zeros((1, 16, 16))
+    out_none, _ = unet.apply({"params": params}, s, t, tc, ic)
+    out_ones, _ = unet.apply({"params": params}, s, t, tc, ic, ip_mask=ones)
+    out_zero, _ = unet.apply({"params": params}, s, t, tc, ic, ip_mask=zeros)
+    # eval fusion (sum, scale off) vs masked path (scale on): ones-mask uses
+    # scale*id so differs from the unmasked sum; zero-mask kills identity
+    assert not np.allclose(np.asarray(out_ones), np.asarray(out_none))
+    assert not np.allclose(np.asarray(out_zero), np.asarray(out_ones))
+    assert np.all(np.isfinite(np.asarray(out_ones)))
