@@ -68,6 +68,10 @@ def parse_args(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--native_loader", action="store_true",
                    help="Use the C++ batch data loader (unmasked datasets)")
+    p.add_argument("--flash_attention", action="store_true",
+                   help="Pallas flash self-attention (exact; TPU fast path)")
+    p.add_argument("--remat", action="store_true",
+                   help="Rematerialize UNet blocks (activation checkpointing)")
     p.add_argument("--profile_steps", type=str, default=None,
                    help="'start,stop' step range to capture a jax.profiler "
                         "trace into {output_dir}/profile")
@@ -146,9 +150,20 @@ def main(argv=None):
         lora_dropout=args.lora_dropout,
         image_encoder_layers_idx=tuple(args.image_encoder_layers_idx),
         dtype=dtype,
+        use_flash_attention=args.flash_attention,
         seed=seed,
     )
-    latent_size = args.resolution // 8
+    if args.remat:
+        import dataclasses as _dc
+
+        modules = _dc.replace(
+            modules,
+            unet=modules.unet.clone(
+                config=_dc.replace(modules.unet.config, remat=True)
+            ),
+        )
+    latent_factor = 2 ** (len(modules.vae.config.block_out_channels) - 1)
+    latent_size = args.resolution // latent_factor
 
     # face loss
     face_loss_fn = None

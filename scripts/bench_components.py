@@ -1,8 +1,11 @@
-"""Pipeline component breakdown on TPU, with in-graph repetition so the
-tunnel's per-dispatch latency doesn't pollute the numbers.
+"""Pipeline component breakdown on TPU.
 
-Times (per call): UNet fwd (the 50x hot op), VAE decode, CLIP vision,
-CLIP text, adapters — at bench.py's batch and SD scale.
+Methodology (see PERFORMANCE.md): each component runs ITERS times inside a
+single jitted fori_loop with the input perturbed by the previous output
+(serializing iterations so nothing folds away), and the measured total is
+corrected for the ~26 ms per-dispatch tunnel round trip. Params are passed
+as arguments (never closed over — closure params become multi-GB
+executable constants).
 """
 
 import time
@@ -15,42 +18,39 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 from photoverse_tpu.models.assembly import build_models, init_params
 
-B = 4
-ITERS = 20
+B = 16
+ITERS = 10
+DISPATCH_OVERHEAD_S = 0.026
 
 
-def timed(name, make_fn, *args):
-    """make_fn(params, *args) -> out; loop ITERS times inside one jit."""
-
-    def looped(params, *a):
+def timed(name, fn, params, first, *rest):
+    def looped(params, first, *rest):
         def body(i, carry):
-            # serialize iterations: the input is perturbed by the previous
-            # iteration's output, so nothing can be hoisted or folded
             delta = carry * 1e-20
-            first = jax.tree.map(
+            perturbed = jax.tree.map(
                 lambda x: x + delta.astype(x.dtype)
                 if jnp.issubdtype(x.dtype, jnp.inexact)
                 else x,
-                a[0],
+                first,
             )
-            out = make_fn(params, first, *a[1:])
+            out = fn(params, perturbed, *rest)
             return jnp.sum(out.astype(jnp.float32))
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
 
     f = jax.jit(looped)
-    out = f(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(f(params, first, *rest))
     t0 = time.perf_counter()
-    out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
-    print(f"{name:24s} {dt*1e3:8.2f} ms/call")
+    jax.block_until_ready(f(params, first, *rest))
+    dt = (time.perf_counter() - t0 - DISPATCH_OVERHEAD_S) / ITERS
+    print(f"{name:28s} {dt*1e3:8.2f} ms/call", flush=True)
     return dt
 
 
 def main():
-    modules = build_models(dtype=jnp.bfloat16)
+    modules = build_models(
+        dtype=jnp.bfloat16, fast_attention_scores=True, use_flash_attention=True
+    )
     params = init_params(modules, jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
 
@@ -60,7 +60,7 @@ def main():
     ic = jnp.asarray(rng.randn(B, 5, 768), jnp.float32)
     t_unet = timed(
         "unet fwd",
-        lambda p, *a: modules.unet.apply({"params": p}, *a)[0],
+        lambda p, l, *a: modules.unet.apply({"params": p}, l, *a)[0],
         params.unet, lat, t, tc, ic,
     )
 
@@ -80,23 +80,8 @@ def main():
         params.vision_encoder, px,
     )
 
-    ids = jnp.asarray(rng.randint(0, 49408, (B, 77)), jnp.int32)
-    t_txt = timed(
-        "clip text",
-        lambda p, i: modules.text_encoder.apply({"params": p}, i)[0],
-        params.text_encoder, ids,
-    )
-
-    feats = jnp.asarray(rng.randn(5, B, 257, 1024), jnp.float32)
-    t_ad = timed(
-        "adapter (x2 in pipeline)",
-        lambda p, f: modules.text_adapter.apply({"params": p}, f),
-        params.text_adapter, feats,
-    )
-
-    total_50 = 50 * t_unet + t_vae + 2 * t_vis + 2 * t_txt + 2 * t_ad
-    print(f"\nmodeled 50-step pipeline: {total_50:.3f} s -> "
-          f"{B / total_50:.2f} imgs/s")
+    total = 50 * t_unet + t_vae + 2 * t_vis
+    print(f"\nmodeled 50-step pipeline: {total:.3f} s -> {B/total:.2f} imgs/s")
 
 
 if __name__ == "__main__":

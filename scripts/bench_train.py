@@ -20,7 +20,7 @@ from photoverse_tpu.engine.training import (
 from photoverse_tpu.models.assembly import build_models, init_params
 from photoverse_tpu.models.unet import UNetConfig
 
-BATCH = 16
+BATCH = 8  # per-chip; the 40k recipe batch 16 = 2 chips DP or grad-accum 2 (v5e 16GB)
 ITERS = 10
 REMAT = True
 
