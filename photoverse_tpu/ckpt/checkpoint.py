@@ -90,11 +90,15 @@ def save_progress(
 ) -> str:
     """Write the trainable partition (+ optional optimizer state) to
     photoverse_{step:06}.msgpack, mirroring save_progress
-    (modeling_utils.py:29-50)."""
+    (modeling_utils.py:29-50). Unlike the reference (which saves the
+    optimizer but never restores it, SURVEY.md 5.4), load_progress restores
+    optimizer state and the global step for true resume."""
     trainable, _ = partition_params(params)
     payload = {
         "trainable": {"/".join(k): np.asarray(v) for k, v in trainable.items()},
     }
+    if step is not None:
+        payload["step"] = step
     if opt_state is not None:
         payload["optimizer"] = serialization.to_state_dict(opt_state)
     name = f"photoverse_{step:06d}.msgpack" if step is not None else "photoverse.msgpack"
@@ -210,3 +214,26 @@ def load_photoverse_checkpoint(
             np_sd(state["cross_attention_adapter"]), params.unet
         )
     return params, lora_config
+
+
+def load_progress(
+    path: str,
+    params: PhotoVerseParams,
+    opt_state_template=None,
+):
+    """Full training resume from a native checkpoint: returns
+    (params, opt_state or None, step). The reference's resume is
+    weights-only with the step reset to 0 (SURVEY.md 5.4); this restores
+    everything."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    trainable, frozen = partition_params(params)
+    loaded = {tuple(k.split("/")): jnp.asarray(v) for k, v in payload["trainable"].items()}
+    params = combine_params({k: loaded[k] for k in trainable}, frozen)
+    opt_state = None
+    if opt_state_template is not None and "optimizer" in payload:
+        opt_state = serialization.from_state_dict(
+            opt_state_template, payload["optimizer"]
+        )
+    step = int(payload.get("step", 0))
+    return params, opt_state, step

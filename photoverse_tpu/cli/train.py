@@ -68,6 +68,9 @@ def parse_args(argv=None):
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--native_loader", action="store_true",
                    help="Use the C++ batch data loader (unmasked datasets)")
+    p.add_argument("--resume_from", type=str, default=None,
+                   help="Native .msgpack checkpoint to fully resume from "
+                        "(weights + optimizer state + global step)")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash self-attention (exact; TPU fast path)")
     p.add_argument("--remat", action="store_true",
@@ -188,6 +191,17 @@ def main(argv=None):
     )
     tx, lr_sched = make_optimizer(cfg)
     trainable, frozen, opt_state = init_train_state(modules, params, tx)
+    start_step = 0
+    if args.resume_from:
+        from photoverse_tpu.ckpt.checkpoint import load_progress, partition_params
+
+        params, opt_restored, start_step = load_progress(
+            args.resume_from, combine_params(trainable, frozen), opt_state
+        )
+        trainable, frozen = partition_params(params)
+        if opt_restored is not None:
+            opt_state = opt_restored
+        print(f"resumed from {args.resume_from} at step {start_step}")
 
     # data
     ds_kw = dict(
@@ -247,8 +261,8 @@ def main(argv=None):
 
     rng = np.random.RandomState(seed)
     face_rng = np.random.RandomState(seed + 1)
-    global_step = 0
-    key = jax.random.PRNGKey(seed)
+    global_step = start_step
+    key = jax.random.PRNGKey(seed + start_step)
     profile_range = None
     if args.profile_steps:
         start, stop = (int(x) for x in args.profile_steps.split(","))

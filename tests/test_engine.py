@@ -171,3 +171,42 @@ def test_torch_pt_checkpoint_loads():
         ta.state_dict()["mapping_0.0.bias"].numpy(),
         atol=1e-6,
     )
+
+
+def test_load_progress_full_resume(tmp_path):
+    """load_progress restores weights + optimizer state + step (beyond the
+    reference, which restores weights only — SURVEY.md §5.4)."""
+    from photoverse_tpu.ckpt.checkpoint import load_progress
+
+    modules, params = tiny_bundle(lora_rank=2, seed=5)
+    cfg = TrainConfig(max_train_steps=10, lr_warmup_steps=0, learning_rate=1e-3)
+    tx, _ = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules, params, tx)
+    step = jax.jit(make_train_step(modules, cfg, tx, latent_size=LATENT))
+    batch = tiny_batch(B=2, seed=6)
+    for i in range(2):
+        trainable, opt_state, _ = step(
+            trainable, frozen, opt_state, batch, jax.random.PRNGKey(i)
+        )
+    path = save_progress(
+        str(tmp_path), combine_params(trainable, frozen), step=2,
+        opt_state=opt_state,
+    )
+
+    _, params_fresh = tiny_bundle(lora_rank=2, seed=9)
+    t_fresh, f_fresh, opt_fresh = init_train_state(modules, params_fresh, tx)
+    restored, opt_restored, start = load_progress(
+        path, combine_params(t_fresh, f_fresh), opt_fresh
+    )
+    assert start == 2
+    t_rest, _ = partition_params(restored)
+    for k in trainable:
+        np.testing.assert_allclose(
+            np.asarray(t_rest[k]), np.asarray(trainable[k]), atol=1e-6
+        )
+    # adam moments restored (count equals 2 steps)
+    leaves_a = jax.tree.leaves(opt_restored)
+    leaves_b = jax.tree.leaves(opt_state)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
