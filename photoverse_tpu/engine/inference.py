@@ -30,7 +30,61 @@ import jax.numpy as jnp
 from photoverse_tpu.core.schedulers import DPMSolverMultistep
 from photoverse_tpu.models.assembly import PhotoVerseModules, PhotoVerseParams
 
-__all__ = ["encode_condition", "denoise", "run_inference"]
+__all__ = ["encode_condition", "precompute_ctx_kv", "denoise", "run_inference"]
+
+
+def _cross_layer_names(cfg):
+    """Cross-attention block names in UNet call order."""
+    ch = cfg.block_out_channels
+    n = len(ch)
+    names = []
+    for i, c in enumerate(ch):
+        if i < n - 1:
+            for j in range(cfg.layers_per_block):
+                names.append((f"down_{i}_attn_{j}", c))
+    names.append(("mid_attn", ch[-1]))
+    for i, c in enumerate(reversed(ch)):
+        if i > 0:
+            for j in range(cfg.layers_per_block + 1):
+                names.append((f"up_{i}_attn_{j}", c))
+    return names
+
+
+def precompute_ctx_kv(
+    modules: PhotoVerseModules,
+    params: PhotoVerseParams,
+    text_ctx: jnp.ndarray,  # (B, St, cross_dim)
+    id_ctx: jnp.ndarray,  # (B, K, cross_dim)
+):
+    """Per-layer (k, v, k_ip, v_ip) for every cross-attention layer.
+
+    The conditioning contexts are constant across the whole denoise
+    trajectory, so these 4 projections x 16 layers are hoisted out of the
+    50-step scan (the reference recomputes them inside every UNet call,
+    attention_processor.py:304-305,392-393).
+    """
+    cfg = modules.unet.config
+    H = cfg.num_heads
+    B = text_ctx.shape[0]
+    out = []
+    for name, c in _cross_layer_names(cfg):
+        a = params.unet[name]["attn2"]
+        d = c // H
+
+        def proj(p, ctx):
+            y = ctx @ p["base"]["kernel"] if "base" in p else ctx @ p["kernel"]
+            if "lora_A" in p and cfg.lora_rank > 0:
+                y = y + ((ctx @ p["lora_A"]) @ p["lora_B"]) * (
+                    cfg.lora_alpha / cfg.lora_rank
+                )
+            return y
+
+        k = proj(a["to_k"], text_ctx).reshape(B, -1, H, d)
+        v = proj(a["to_v"], text_ctx).reshape(B, -1, H, d)
+        k_ip = (id_ctx @ a["to_k_ip"]["kernel"]).reshape(B, -1, H, d)
+        v_ip = (id_ctx @ a["to_v_ip"]["kernel"]).reshape(B, -1, H, d)
+        out.append((k, v, k_ip, v_ip))
+    return tuple(out)
 
 
 def encode_condition(
@@ -79,12 +133,22 @@ def denoise(
     infer.py:99 uses exactly one)."""
     use_cfg = guidance_scale != 1.0 and uncond_text_ctx is not None
     B = latents.shape[0]
+    # hoist the loop-invariant context K/V projections out of the scan
+    # (disabled when gradients must flow through them, i.e. face-loss steps)
+    use_kv_cache = num_grad_steps == 0
 
     if use_cfg:
         text2 = jnp.concatenate([uncond_text_ctx, text_ctx], axis=0)
         id2 = jnp.concatenate([uncond_id_ctx, id_ctx], axis=0)
         mask2 = (
             None if ip_mask is None else jnp.concatenate([ip_mask, ip_mask], axis=0)
+        )
+        kv2 = precompute_ctx_kv(modules, params, text2, id2) if use_kv_cache else None
+    else:
+        kv1 = (
+            precompute_ctx_kv(modules, params, text_ctx, id_ctx)
+            if use_kv_cache
+            else None
         )
 
     def eps_fn(lat, t):
@@ -98,11 +162,13 @@ def denoise(
                 text2,
                 id2,
                 ip_mask=mask2,
+                ctx_kv=kv2,
             )
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             return eps_u + guidance_scale * (eps_c - eps_u)
         eps, _ = modules.unet.apply(
-            {"params": params.unet}, lat, tb, text_ctx, id_ctx, ip_mask=ip_mask
+            {"params": params.unet}, lat, tb, text_ctx, id_ctx, ip_mask=ip_mask,
+            ctx_kv=kv1,
         )
         return eps
 

@@ -216,6 +216,7 @@ class DualCrossAttention(nn.Module):
         id_ctx: jnp.ndarray,  # (B, K, cross_dim)
         fusion_u: jnp.ndarray,  # scalar uniform (ignored in eval)
         ip_mask: Optional[jnp.ndarray] = None,  # (B, S) spatial identity mask
+        ctx_kv: Optional[Tuple[jnp.ndarray, ...]] = None,  # (k, v, k_ip, v_ip)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         train = self.train
         B, S, C = x.shape
@@ -228,18 +229,23 @@ class DualCrossAttention(nn.Module):
             dtype=self.dtype,
         )
         q = _LoraDense(C, name="to_q", **lora_kw)(x, train).reshape(B, S, H, d)
-        k = _LoraDense(C, name="to_k", **lora_kw)(text_ctx, train).reshape(
-            B, -1, H, d
-        )
-        v = _LoraDense(C, name="to_v", **lora_kw)(text_ctx, train).reshape(
-            B, -1, H, d
-        )
-        k_ip = nn.Dense(C, use_bias=False, name="to_k_ip", dtype=self.dtype)(
-            id_ctx
-        ).reshape(B, -1, H, d)
-        v_ip = nn.Dense(C, use_bias=False, name="to_v_ip", dtype=self.dtype)(
-            id_ctx
-        ).reshape(B, -1, H, d)
+        if ctx_kv is not None:
+            # the context K/V are loop-invariant across denoise steps —
+            # precomputed once outside the scan (engine.precompute_ctx_kv)
+            k, v, k_ip, v_ip = (a.astype(self.dtype) for a in ctx_kv)
+        else:
+            k = _LoraDense(C, name="to_k", **lora_kw)(text_ctx, train).reshape(
+                B, -1, H, d
+            )
+            v = _LoraDense(C, name="to_v", **lora_kw)(text_ctx, train).reshape(
+                B, -1, H, d
+            )
+            k_ip = nn.Dense(C, use_bias=False, name="to_k_ip", dtype=self.dtype)(
+                id_ctx
+            ).reshape(B, -1, H, d)
+            v_ip = nn.Dense(C, use_bias=False, name="to_v_ip", dtype=self.dtype)(
+                id_ctx
+            ).reshape(B, -1, H, d)
         if ip_mask is not None:
             # masked identity attention (reference attention_processor.py:
             # 359-390): out = text_attn + scale * (id_attn * downsampled mask);
@@ -306,6 +312,7 @@ class TransformerBlock(nn.Module):
         id_ctx: jnp.ndarray,
         fusion_u: jnp.ndarray,  # scalar uniform (ignored in eval)
         ip_mask: Optional[jnp.ndarray] = None,  # (B, Hm, Wm) in [0, 1]
+        ctx_kv: Optional[Tuple[jnp.ndarray, ...]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, Hh, Ww, C = x.shape
         residual = x
@@ -337,6 +344,7 @@ class TransformerBlock(nn.Module):
             id_ctx,
             fusion_u,
             _downsample_ip_mask(ip_mask, B, Hh, Ww),
+            ctx_kv,
         )
         h = h + attn2_out
 
@@ -374,6 +382,7 @@ class UNet2DCondition(nn.Module):
         train: bool = False,
         fusion_rng: Optional[jax.Array] = None,
         ip_mask: Optional[jnp.ndarray] = None,
+        ctx_kv: Optional[Tuple] = None,  # per-cross-layer (k, v, k_ip, v_ip)
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         ch = cfg.block_out_channels
@@ -383,14 +392,17 @@ class UNet2DCondition(nn.Module):
 
         if train and fusion_rng is None:
             raise ValueError("fusion_rng is required when train=True")
-        fusion_counter = [0]
+        layer_counter = [0]
 
-        def next_fusion_u() -> jnp.ndarray:
-            if not train:
-                return jnp.zeros(())  # unused in eval (fusion is a sum)
-            key = jax.random.fold_in(fusion_rng, fusion_counter[0])
-            fusion_counter[0] += 1
-            return jax.random.uniform(key, ())
+        def next_layer_args():
+            """(fusion_u, ctx_kv) for the next cross-attn layer in call order."""
+            i = layer_counter[0]
+            layer_counter[0] += 1
+            if train:
+                u = jax.random.uniform(jax.random.fold_in(fusion_rng, i), ())
+            else:
+                u = jnp.zeros(())  # unused in eval (fusion is a sum)
+            return u, (None if ctx_kv is None else ctx_kv[i])
 
         # time embedding: sinusoid(320) -> Dense -> silu -> Dense (1280)
         temb = timestep_embedding(timesteps, ch[0])
@@ -432,8 +444,9 @@ class UNet2DCondition(nn.Module):
                     c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", dtype=self.dtype
                 )(x, temb)
                 if has_attn:
+                    u, kv = next_layer_args()
                     x, vn = TransformerB(c, name=f"down_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, next_fusion_u(), ip_mask
+                        x, text_ctx, id_ctx, u, ip_mask, kv
                     )
                     norms.append(vn)
                 skips.append(x)
@@ -449,8 +462,9 @@ class UNet2DCondition(nn.Module):
         x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_0", dtype=self.dtype)(
             x, temb
         )
+        u, kv = next_layer_args()
         x, vn = TransformerB(ch[-1], name="mid_attn", **tf_kw)(
-            x, text_ctx, id_ctx, next_fusion_u(), ip_mask
+            x, text_ctx, id_ctx, u, ip_mask, kv
         )
         norms.append(vn)
         x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype)(
@@ -468,8 +482,9 @@ class UNet2DCondition(nn.Module):
                     c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", dtype=self.dtype
                 )(x, temb)
                 if has_attn:
+                    u, kv = next_layer_args()
                     x, vn = TransformerB(c, name=f"up_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, next_fusion_u(), ip_mask
+                        x, text_ctx, id_ctx, u, ip_mask, kv
                     )
                     norms.append(vn)
             if i < n_blocks - 1:
