@@ -107,6 +107,9 @@ def main(argv=None):
     if args.cpu:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+    import signal
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -259,6 +262,16 @@ def main(argv=None):
         f"  Total optimization steps = {args.max_train_steps}"
     )
 
+    # preemption/SIGTERM-safe: checkpoint and exit cleanly at the next step
+    # boundary (the recovery story for elastic TPU capacity, SURVEY.md 5.3)
+    stop_requested = {"flag": False}
+
+    def _on_term(signum, frame):
+        stop_requested["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+
     rng = np.random.RandomState(seed)
     face_rng = np.random.RandomState(seed + 1)
     global_step = start_step
@@ -304,6 +317,7 @@ def main(argv=None):
             key, step_key = jax.random.split(key)
             if profile_range and global_step == profile_range[0]:
                 jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
+            t_step = time.perf_counter()
             trainable, opt_state, metrics = jstep(
                 trainable, frozen, opt_state, dev_batch, step_key
             )
@@ -313,15 +327,28 @@ def main(argv=None):
             global_step += 1
 
             if writer is not None:
+                step_s = time.perf_counter() - t_step
                 logs = {
                     "loss_mle": metrics["loss_mle"],
                     "loss_reg_concept_text": metrics["loss_reg_concept_text"],
                     "loss_reg_cross_attn_visual": metrics["loss_reg_cross_attn_visual"],
                     "lr": lr_sched(global_step),
+                    "step_time_s": step_s,
+                    "imgs_per_sec": args.train_batch_size / max(step_s, 1e-9),
                 }
                 if args.face_loss:
                     logs["loss_face"] = metrics["loss_face"]
                 writer.log(logs, global_step)
+
+            if stop_requested["flag"]:
+                if jax.process_index() == 0:
+                    print(f"termination requested — checkpointing at step {global_step}")
+                    save_progress(
+                        args.output_dir, combine_params(trainable, frozen),
+                        step=global_step, lora_config=lora_config,
+                        opt_state=opt_state,
+                    )
+                return
 
             if global_step % args.samples_save_steps == 0 and writer is not None:
                 _save_samples(
