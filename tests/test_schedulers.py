@@ -102,3 +102,64 @@ def test_squaredcos_schedule_builds():
     sch = DDPMSchedule.create(beta_schedule="squaredcos_cap_v2", num_train_timesteps=100)
     assert sch.alphas_cumprod.shape == (100,)
     assert np.all(sch.alphas_cumprod > 0) and np.all(sch.alphas_cumprod < 1)
+
+
+def test_dpm_solver_matches_stateful_formulation():
+    """The static per-step (a, b, c) coefficients must reproduce the
+    canonical stateful DPM-Solver++(2M) update (convert-to-x0, log-SNR
+    steps, midpoint second order, first order on warmup/final steps)."""
+    sch = make_sd15_schedule()
+    for n in (6, 25):
+        solver = DPMSolverMultistep.create(sch, n)
+        sigmas = solver.sigmas
+        rng = np.random.RandomState(n)
+        x_mine = rng.randn(2, 4, 4, 4).astype(np.float64)
+        x_ref = x_mine.copy()
+        eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+
+        xs = solver.scan_inputs()
+        m_prev = np.zeros_like(x_mine)
+        m_hist = []
+        for i in range(n):
+            # mine: static linear combination
+            step = {k: np.asarray(v[i], np.float64) for k, v in xs.items()}
+            m = (x_mine - step["eps_coef"] * eps_seq[i]) * step["x0_scale"]
+            x_mine = step["a"] * x_mine + step["b"] * m + step["c"] * m_prev
+            m_prev = m
+
+            # reference: stateful formulas
+            s0, t = sigmas[i], sigmas[i + 1]
+            a_s0 = 1 / np.sqrt(s0**2 + 1)
+            sg_s0 = s0 * a_s0
+            m0 = (x_ref - sg_s0 * eps_seq[i]) / a_s0
+            m_hist.append(m0)
+            first_order = (
+                i == 0 or i == n - 1 or (i == n - 2 and n < 15)
+            )
+            if t == 0.0:
+                x_ref = m0
+            else:
+                a_t = 1 / np.sqrt(t**2 + 1)
+                sg_t = t * a_t
+                lam_t = np.log(a_t / sg_t)
+                lam_s0 = np.log(a_s0 / sg_s0)
+                h = lam_t - lam_s0
+                if first_order:
+                    x_ref = (sg_t / sg_s0) * x_ref - a_t * np.expm1(-h) * m0
+                else:
+                    s1 = sigmas[i - 1]
+                    a_s1 = 1 / np.sqrt(s1**2 + 1)
+                    sg_s1 = s1 * a_s1
+                    lam_s1 = np.log(a_s1 / sg_s1)
+                    r0 = (lam_s0 - lam_s1) / h
+                    D0 = m0
+                    D1 = (m0 - m_hist[-2]) / r0
+                    x_ref = (
+                        (sg_t / sg_s0) * x_ref
+                        - a_t * np.expm1(-h) * D0
+                        - 0.5 * a_t * np.expm1(-h) * D1
+                    )
+            np.testing.assert_allclose(
+                x_mine, x_ref, rtol=1e-4, atol=1e-5,
+                err_msg=f"n={n} step {i}",
+            )
