@@ -1,0 +1,210 @@
+"""Serving CLI — keep the jitted PhotoVerse pipeline warm behind HTTP.
+
+Production-facing extension beyond the reference's one-shot generate.py:
+loads + compiles once, then serves identity-personalized generations.
+stdlib-only (http.server); single-threaded request handling by design —
+the TPU runs one request at a time and requests batch internally.
+
+  POST /generate
+    {"image_b64": <base64 jpg/png> | "image_path": <server-local path>,
+     "prompt": "a photo of a {}", "negative_prompt": null,
+     "num_samples": 1, "steps": 25, "guidance_scale": 6.0, "seed": null}
+  -> {"images_b64": [<base64 png>, ...], "latency_s": ...}
+
+  GET /healthz -> {"status": "ok", "compiled_shapes": [...]}
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="PhotoVerse TPU serving")
+    p.add_argument("--model_path", type=str, required=True)
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--extra_num_tokens", type=int, default=4)
+    p.add_argument("--encoder_layers_idx", nargs="+", type=int, default=[4, 8, 12, 16])
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8500)
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--default_steps", type=int, default=25)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 + flash attention + bf16 scores")
+    p.add_argument("--warmup", action="store_true",
+                   help="compile the default configuration at startup")
+    return p
+
+
+class PhotoVerseService:
+    """Holds the model bundle and a cache of jitted pipelines keyed by
+    (batch, steps, guidance!=1) — each distinct shape compiles once."""
+
+    def __init__(self, args):
+        import jax
+        import jax.numpy as jnp
+
+        from photoverse_tpu.models.assembly import load_models
+
+        self.args = args
+        self.jax = jax
+        self.jnp = jnp
+        dtype = jnp.bfloat16 if args.fast else jnp.float32
+        self.tokenizer, self.modules, self.params, _ = load_models(
+            args.model_path,
+            extra_num_tokens=args.extra_num_tokens,
+            photoverse_path=args.checkpoint_path or None,
+            image_encoder_layers_idx=tuple(args.encoder_layers_idx),
+            dtype=dtype,
+            use_flash_attention=args.fast,
+            fast_attention_scores=args.fast,
+        )
+        factor = 2 ** (len(self.modules.vae.config.block_out_channels) - 1)
+        self.latent_size = args.resolution // factor
+        self.clip_size = self.modules.vision_encoder.config.image_size
+        self._pipelines = {}
+
+    def _pipeline(self, batch: int, steps: int, guidance: float):
+        import jax
+
+        from photoverse_tpu.core.schedulers import DPMSolverMultistep
+        from photoverse_tpu.engine.inference import run_inference
+
+        key = (batch, steps, guidance)
+        if key not in self._pipelines:
+            solver = DPMSolverMultistep.create(self.modules.schedule, steps)
+
+            def gen(params, example, uncond_ids, rng):
+                return run_inference(
+                    self.modules, params, solver, example, rng,
+                    guidance_scale=guidance, token_index=0,
+                    latent_size=self.latent_size,
+                    uncond_input_ids=uncond_ids,
+                )
+
+            self._pipelines[key] = jax.jit(gen)
+        return self._pipelines[key]
+
+    def generate(self, req: dict) -> dict:
+        import numpy as np
+        from PIL import Image
+
+        from photoverse_tpu.cli.generate import preprocess_image_for_inference
+        from photoverse_tpu.utils.image import denormalize, to_pil
+
+        jnp = self.jnp
+        n = min(int(req.get("num_samples", 1)), self.args.max_batch)
+        steps = int(req.get("steps", self.args.default_steps))
+        guidance = float(req.get("guidance_scale", 6.0))
+        prompt = req.get("prompt", "a photo of a {}")
+        if "{}" not in prompt:
+            prompt = prompt + " {}" if prompt else "a photo of a {}"
+
+        if "image_b64" in req:
+            img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
+            tmp = io.BytesIO()
+            img.convert("RGB").save(tmp, format="PNG")
+            import tempfile, os
+
+            with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
+                f.write(tmp.getvalue())
+                path = f.name
+        else:
+            path = req["image_path"]
+
+        example = preprocess_image_for_inference(
+            path, self.tokenizer, template=prompt,
+            negative_prompt=req.get("negative_prompt"), num_of_samples=n,
+            size=self.args.resolution, clip_size=self.clip_size,
+        )
+        dev = {
+            k: jnp.asarray(v)
+            for k, v in example.items()
+            if k in ("pixel_values", "pixel_values_clip", "text_input_ids",
+                     "concept_placeholder_idx")
+        }
+        if example.get("negative_text_input_ids") is not None:
+            dev["negative_text_input_ids"] = jnp.asarray(
+                example["negative_text_input_ids"]
+            )
+        uncond = jnp.asarray(self.tokenizer([""] * n), jnp.int32)
+        seed = req.get("seed")
+        if seed is None:
+            import os as _os
+
+            seed = int.from_bytes(_os.urandom(4), "little")
+
+        t0 = time.perf_counter()
+        images = self._pipeline(n, steps, guidance)(
+            self.params, dev, uncond, self.jax.random.PRNGKey(int(seed))
+        )
+        images = np.asarray(images)
+        latency = time.perf_counter() - t0
+
+        out = []
+        for img in images:
+            buf = io.BytesIO()
+            to_pil(denormalize(img)).save(buf, format="PNG")
+            out.append(base64.b64encode(buf.getvalue()).decode())
+        return {"images_b64": out, "latency_s": round(latency, 3), "seed": seed}
+
+    def health(self) -> dict:
+        return {
+            "status": "ok",
+            "compiled_shapes": [list(k) for k in self._pipelines],
+            "resolution": self.args.resolution,
+        }
+
+
+def make_handler(service: PhotoVerseService):
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, service.health())
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                self._reply(200, service.generate(req))
+            except Exception as e:  # surface errors to the client
+                self._reply(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):
+            print(f"[serve] {fmt % args}")
+
+    return Handler
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    service = PhotoVerseService(args)
+    if args.warmup:
+        print("[serve] warming up default pipeline...")
+        service._pipeline(1, args.default_steps, 6.0)
+    server = HTTPServer((args.host, args.port), make_handler(service))
+    print(f"[serve] listening on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

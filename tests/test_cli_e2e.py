@@ -232,3 +232,64 @@ def test_train_cli_end_to_end(tmp_path):
     assert "loss_mle" in rec and np.isfinite(rec["loss_mle"])
     assert (out_dir / "photoverse_000002.msgpack").exists()
     assert (out_dir / "photoverse.msgpack").exists()
+
+
+def test_serve_cli_end_to_end(tmp_path):
+    """Spin up the serving CLI on the tiny checkpoint and round-trip a
+    /generate request (image in, PNGs out) plus /healthz."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+
+    from http.server import HTTPServer
+
+    from photoverse_tpu.cli.serve import PhotoVerseService, build_parser, make_handler
+
+    args = build_parser().parse_args([
+        "--model_path", root, "--resolution", "32", "--default_steps", "2",
+        "--encoder_layers_idx", "1", "2", "3", "4", "--port", "0",
+    ])
+    service = PhotoVerseService(args)
+    server = HTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            health = _json.loads(r.read())
+        assert health["status"] == "ok"
+
+        img_b64 = base64.b64encode(face.read_bytes()).decode()
+        req = _json.dumps({
+            "image_b64": img_b64, "prompt": "the photo of a {}",
+            "num_samples": 2, "steps": 2, "guidance_scale": 2.0, "seed": 3,
+        }).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=req,
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=600,
+        )
+        resp = _json.loads(r.read())
+        assert len(resp["images_b64"]) == 2
+        img = Image.open(io.BytesIO(base64.b64decode(resp["images_b64"][0])))
+        assert img.size == (32, 32)
+        # warm pipeline reused on second call
+        r2 = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=req,
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=600,
+        )
+        assert _json.loads(r2.read())["latency_s"] < resp["latency_s"]
+    finally:
+        server.shutdown()
