@@ -51,7 +51,7 @@ def main():
 
     note("building models")
     modules = build_models(dtype=jnp.bfloat16, fast_attention_scores=True,
-                           use_flash_attention=True)
+                           use_flash_attention=True, fast_norms=True)
     params = init_params(modules, jax.random.PRNGKey(0))
     note("params initialized")
     solver = DPMSolverMultistep.create(modules.schedule, STEPS)

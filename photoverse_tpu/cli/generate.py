@@ -99,6 +99,7 @@ def main(argv=None):
         use_pallas_attention=args.pallas_attention,
         use_flash_attention=args.fast,
         fast_attention_scores=args.fast,
+        fast_norms=args.fast,
     )
     solver = DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
 

@@ -64,6 +64,7 @@ class PhotoVerseService:
             dtype=dtype,
             use_flash_attention=args.fast,
             fast_attention_scores=args.fast,
+            fast_norms=args.fast,
         )
         factor = 2 ** (len(self.modules.vae.config.block_out_channels) - 1)
         self.latent_size = args.resolution // factor

@@ -94,6 +94,7 @@ def build_models(
     use_pallas_attention: bool = False,
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
+    fast_norms: bool = False,
     unet_config: Optional[UNetConfig] = None,
     vae_config: Optional[VAEConfig] = None,
     text_config: Optional[CLIPTextConfig] = None,
@@ -105,6 +106,7 @@ def build_models(
         use_pallas_attention=use_pallas_attention,
         use_flash_attention=use_flash_attention,
         fast_attention_scores=fast_attention_scores,
+        fast_norms=fast_norms,
     )
     vae_cfg = vae_config or VAEConfig()
     text_cfg = text_config or CLIPTextConfig()
@@ -344,6 +346,7 @@ def load_models(
     use_pallas_attention: bool = False,
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
+    fast_norms: bool = False,
     seed: int = 0,
 ):
     """Full load path mirroring modeling_utils.py:53-95 for local checkpoints.
@@ -373,6 +376,7 @@ def load_models(
         unet_cfg,
         use_flash_attention=use_flash_attention,
         fast_attention_scores=fast_attention_scores,
+        fast_norms=fast_norms,
     )
     modules = build_models(
         extra_num_tokens=extra_num_tokens,

@@ -61,6 +61,9 @@ class UNetConfig:
     # store attention scores/probs in bf16 (halves self-attention HBM
     # traffic; ~6e-5 output deviation — inference fast path)
     fast_attention_scores: bool = False
+    # run Group/LayerNorms in the compute dtype instead of f32 (halves the
+    # cast traffic around every norm — inference fast path)
+    fast_norms: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -93,25 +96,29 @@ def _downsample_ip_mask(
     return m.reshape(B, Hh * Ww)
 
 
-def _gn(name: str, groups: int, eps: float = 1e-5) -> nn.GroupNorm:
-    # normalization statistics in f32 regardless of the compute dtype
-    return nn.GroupNorm(num_groups=groups, epsilon=eps, name=name, dtype=jnp.float32)
+def _gn(
+    name: str, groups: int, eps: float = 1e-5, dtype: jnp.dtype = jnp.float32
+) -> nn.GroupNorm:
+    # normalization statistics default to f32 regardless of compute dtype;
+    # fast_norms keeps them in the compute dtype (inference fast path)
+    return nn.GroupNorm(num_groups=groups, epsilon=eps, name=name, dtype=dtype)
 
 
 class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
-        h = jax.nn.silu(_gn("norm1", self.groups)(x)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype)(x)).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj", dtype=self.dtype)(
             jax.nn.silu(temb).astype(self.dtype)
         )
         h = h + t[:, None, None, :]
-        h = jax.nn.silu(_gn("norm2", self.groups)(h)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype)(h)).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -303,6 +310,7 @@ class TransformerBlock(nn.Module):
     train: bool = False
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -316,11 +324,11 @@ class TransformerBlock(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, Hh, Ww, C = x.shape
         residual = x
-        h = _gn("norm", self.groups, eps=1e-6)(x).astype(self.dtype)
+        h = _gn("norm", self.groups, eps=1e-6, dtype=self.norm_dtype)(x).astype(self.dtype)
         h = nn.Conv(C, (1, 1), padding="VALID", name="proj_in", dtype=self.dtype)(h)
         h = h.reshape(B, Hh * Ww, C)
 
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name, dtype=jnp.float32)
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name, dtype=self.norm_dtype)
         h = h + SelfAttention(
             C, self.num_heads, use_flash=self.use_flash,
             fast_scores=self.fast_scores, name="attn1",
@@ -413,6 +421,7 @@ class UNet2DCondition(nn.Module):
             jax.nn.silu(temb)
         )
 
+        norm_dtype = self.dtype if cfg.fast_norms else jnp.float32
         ResnetB = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
         TransformerB = nn.remat(TransformerBlock) if cfg.remat else TransformerBlock
         tf_kw = dict(
@@ -428,6 +437,7 @@ class UNet2DCondition(nn.Module):
             train=train,
             groups=cfg.norm_num_groups,
             dtype=self.dtype,
+            norm_dtype=self.dtype if cfg.fast_norms else jnp.float32,
         )
 
         norms: List[jnp.ndarray] = []
@@ -441,7 +451,8 @@ class UNet2DCondition(nn.Module):
             has_attn = i < n_blocks - 1
             for j in range(cfg.layers_per_block):
                 x = ResnetB(
-                    c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", dtype=self.dtype
+                    c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", dtype=self.dtype,
+                    norm_dtype=norm_dtype
                 )(x, temb)
                 if has_attn:
                     u, kv = next_layer_args()
@@ -459,7 +470,7 @@ class UNet2DCondition(nn.Module):
                 skips.append(x)
 
         # mid
-        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_0", dtype=self.dtype)(
+        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_0", dtype=self.dtype, norm_dtype=norm_dtype)(
             x, temb
         )
         u, kv = next_layer_args()
@@ -467,7 +478,7 @@ class UNet2DCondition(nn.Module):
             x, text_ctx, id_ctx, u, ip_mask, kv
         )
         norms.append(vn)
-        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype)(
+        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype, norm_dtype=norm_dtype)(
             x, temb
         )
 
@@ -479,7 +490,8 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
                 x = ResnetB(
-                    c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", dtype=self.dtype
+                    c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", dtype=self.dtype,
+                    norm_dtype=norm_dtype
                 )(x, temb)
                 if has_attn:
                     u, kv = next_layer_args()
