@@ -16,7 +16,7 @@ from __future__ import annotations
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 from PIL import Image
@@ -28,7 +28,6 @@ from photoverse_tpu.data.preprocessing import (
 )
 from photoverse_tpu.data.prompts import (
     IMAGENET_TEMPLATES_SMALL,
-    find_placeholder_index,
     prepare_prompt,
 )
 

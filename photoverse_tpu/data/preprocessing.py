@@ -14,8 +14,6 @@ only ever existed for torch convs.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 from PIL import Image
 

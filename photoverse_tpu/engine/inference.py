@@ -21,7 +21,6 @@ infer.py:7-123). Differences by design:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -13,7 +13,7 @@ PReLU parameter at both activation sites (arcface_resnet.py:20,34,45).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ materializes (B, H, Sq, St) probabilities).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
