@@ -210,3 +210,50 @@ def test_load_progress_full_resume(tmp_path):
     assert len(leaves_a) == len(leaves_b)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_train_step_with_face_loss():
+    """Face-loss path: inner generation with last-step-only grad + cosine
+    loss (reference train.py:521-535); gradients must reach the adapters
+    through the face branch."""
+    import jax.numpy as jnp
+
+    from photoverse_tpu.models.arcface import ArcFaceConfig, ArcFaceResNet18
+    from photoverse_tpu.models.face_loss import FaceLoss
+
+    modules, params = tiny_bundle(seed=7)
+    acfg = ArcFaceConfig(input_size=32)
+    amodel = ArcFaceResNet18(acfg)
+    aparams = amodel.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))["params"]
+    floss = FaceLoss("arcface", aparams)
+    floss.model = amodel
+
+    def face_loss_fn(_params, x, gen):
+        return floss(x, gen, maximize=True, normalize=False)
+
+    solver = DPMSolverMultistep.create(modules.schedule, 3)
+    cfg = TrainConfig(max_train_steps=5, lr_warmup_steps=0, learning_rate=1e-3,
+                      face_loss_guidance=2.0)
+    tx, _ = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules, params, tx)
+    step = jax.jit(make_train_step(
+        modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=solver,
+        latent_size=LATENT,
+    ))
+    batch = tiny_batch(B=2, seed=8)
+    batch["face_pixel_values"] = batch["pixel_values"][:1]
+    batch["face_pixel_values_clip"] = batch["pixel_values_clip"][:1]
+    batch["face_text_input_ids"] = batch["text_input_ids"][:1]
+    batch["face_concept_placeholder_idx"] = batch["concept_placeholder_idx"][:1]
+    batch["face_uncond_input_ids"] = np.zeros((1, 12), np.int32)
+    new_trainable, _, metrics = step(
+        trainable, frozen, opt_state, batch, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_face"]))
+    assert float(metrics["loss_face"]) != 0.0
+    moved = [
+        not np.allclose(np.asarray(new_trainable[k]), np.asarray(trainable[k]))
+        for k in list(trainable)[:8]
+    ]
+    assert any(moved)
