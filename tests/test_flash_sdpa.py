@@ -35,13 +35,13 @@ def test_flash_gradients_match():
     q, k, v = _data(S=64, seed=2)
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(jnp.square(flash_sdpa_diff(q, k, v)))
+        return jnp.sum(jnp.square(flash_sdpa_diff(q, k, v)))
 
     def loss_ref(q, k, v):
         return jnp.sum(jnp.square(sdpa(q, k, v)))
 
-    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
