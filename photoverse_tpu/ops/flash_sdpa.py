@@ -214,41 +214,53 @@ def _bwd_dq_kernel(q_ref, g_ref, lse_ref, delta_ref, k_ref, v_ref, dq_ref, *, tk
 
 
 def _bwd_dkv_kernel(q_ref, g_ref, lse_ref, delta_ref, k_ref, v_ref,
-                    dk_ref, dv_ref, *, tq: int):
-    # per (bh, k-tile): dv = sum_q p^T g ; dk = scale * sum_q ds^T q
-    TK, d = k_ref.shape[1], k_ref.shape[2]
-    S = q_ref.shape[1]
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, tk: int):
+    # grid walks q-tiles; dk/dv accumulate in f32 scratch that persists
+    # across the q dimension (outputs flushed on the last q-tile).
+    TQ, d = q_ref.shape[1], q_ref.shape[2]
+    S = k_ref.shape[1]
     scale = d**-0.5
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    nq = S // tq
+    i = pl.program_id(1)
+    nq = pl.num_programs(1)
 
-    def body(j, carry):
-        dk_acc, dv_acc = carry
-        q = q_ref[0, pl.ds(j * tq, tq), :].astype(jnp.float32) * scale
-        g = g_ref[0, pl.ds(j * tq, tq), :].astype(jnp.float32)
-        lse = lse_ref[0, pl.ds(j * tq, tq), :1]
-        delta = delta_ref[0, pl.ds(j * tq, tq), :1]
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    g = g_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+    nk = S // tk
+
+    def body(j, _):
+        k = k_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (tq, TK)
+        )  # (TQ, tk)
         p = jnp.exp(s - lse)
-        dv_acc = dv_acc + jax.lax.dot_general(
+        dv_chunk = jax.lax.dot_general(
             p, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = p * (dp - delta)
-        dk_acc = dk_acc + jax.lax.dot_general(
+        dk_chunk = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return dk_acc, dv_acc
+        dk_acc[pl.ds(j * tk, tk), :] += dk_chunk
+        dv_acc[pl.ds(j * tk, tk), :] += dv_chunk
+        return 0
 
-    z = jnp.zeros((TK, d), jnp.float32)
-    dk_acc, dv_acc = jax.lax.fori_loop(0, nq, body, (z, z))
-    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+    jax.lax.fori_loop(0, nk, body, 0)
+
+    @pl.when(i == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "k_tile"))
@@ -260,8 +272,9 @@ def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
         tq -= 1
     tk = min(k_tile, S)
     # the kernels hold three (tq, tk) f32 temporaries (p, dp, ds) on the
-    # VMEM stack — keep their sum well under the 16 MB scoped limit
-    while tq * tk * 4 * 3 > 6 * 1024 * 1024:
+    # VMEM stack next to full K/V blocks and f32 accumulators — keep the
+    # temporaries small (the rest of the budget is block buffers)
+    while tq * tk * 4 * 3 > 3 * 1024 * 1024:
         tk //= 2
     while S % tk:
         tk -= 1
@@ -277,8 +290,6 @@ def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
                                 memory_space=pltpu.VMEM)
     row = lambda t: pl.BlockSpec((1, t, d), lambda b, i: (b, i, 0),
                                  memory_space=pltpu.VMEM)
-    vec_full = lambda: pl.BlockSpec((1, S, 8), lambda b, i: (b, 0, 0),
-                                    memory_space=pltpu.VMEM)
     vec_row = lambda t: pl.BlockSpec((1, t, 8), lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM)
 
@@ -291,14 +302,21 @@ def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
     )(qf, gf, lse8, delta8, kf, vf)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, tq=tq),
+        functools.partial(_bwd_dkv_kernel, tk=tk),
         out_shape=(
             jax.ShapeDtypeStruct((BH, S, d), k.dtype),
             jax.ShapeDtypeStruct((BH, S, d), v.dtype),
         ),
-        grid=(BH, S // tk),
-        in_specs=[full(), full(), vec_full(), vec_full(), row(tk), row(tk)],
-        out_specs=(row(tk), row(tk)),
+        grid=(BH, S // tq),
+        in_specs=[row(tq), row(tq), vec_row(tq), vec_row(tq), full(), full()],
+        out_specs=(
+            pl.BlockSpec((1, S, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S, d), jnp.float32),
+            pltpu.VMEM((S, d), jnp.float32),
+        ],
     )(qf, gf, lse8, delta8, kf, vf)
     return _unfold(dq, B, H), _unfold(dk, B, H), _unfold(dv, B, H)
 
