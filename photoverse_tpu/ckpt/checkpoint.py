@@ -36,6 +36,7 @@ __all__ = [
     "combine_params",
     "trainable_unet_mask_path",
     "save_progress",
+    "save_progress_pt",
     "load_photoverse_checkpoint",
 ]
 
@@ -109,6 +110,102 @@ def save_progress(
     if lora_config is not None:
         with open(path + ".lora.json", "w") as f:
             json.dump(lora_config, f)
+    return path
+
+
+def _adapter_to_torch_sd(tree: dict) -> Dict[str, np.ndarray]:
+    """Inverse of convert.torch_to_jax.convert_adapter: stacked params ->
+    the reference PhotoVerseAdapter state-dict layout (adapters.py:5-28),
+    nn.Sequential indices 0/1/3/4/6 under mapping_{i} / mapping_patch_{i}."""
+    out: Dict[str, np.ndarray] = {}
+    for branch_name, prefix in (("mapping", "mapping"), ("mapping_patch", "mapping_patch")):
+        b = tree[branch_name]
+        K = np.asarray(b["fc0_w"]).shape[0]
+        for i in range(K):
+            p = f"{prefix}_{i}"
+            out[f"{p}.0.weight"] = np.asarray(b["fc0_w"][i]).T
+            out[f"{p}.0.bias"] = np.asarray(b["fc0_b"][i])
+            out[f"{p}.1.weight"] = np.asarray(b["ln0_g"][i])
+            out[f"{p}.1.bias"] = np.asarray(b["ln0_b"][i])
+            out[f"{p}.3.weight"] = np.asarray(b["fc1_w"][i]).T
+            out[f"{p}.3.bias"] = np.asarray(b["fc1_b"][i])
+            out[f"{p}.4.weight"] = np.asarray(b["ln1_g"][i])
+            out[f"{p}.4.bias"] = np.asarray(b["ln1_b"][i])
+            out[f"{p}.6.weight"] = np.asarray(b["fc2_w"][i]).T
+            out[f"{p}.6.bias"] = np.asarray(b["fc2_b"][i])
+    return out
+
+
+def _torch_block_name(block: str) -> str:
+    """My UNet block name -> the diffusers module path prefix."""
+    if block == "mid_attn":
+        return "mid_block.attentions.0"
+    kind, i, _, j = block.split("_")
+    return f"{kind}_blocks.{i}.attentions.{j}"
+
+
+def _cross_attention_to_torch_sd(
+    unet_params: dict, use_lora: bool
+) -> Dict[str, np.ndarray]:
+    """Inverse of _convert_cross_attention_adapter: emit exactly the key set
+    the reference's save_progress extracts from the patched unet state dict
+    (modeling_utils.py:33-38 — attn2 keys matching processor|to_q|to_k|to_v,
+    with peft base_layer/lora_A/lora_B naming when LoRA is injected)."""
+    out: Dict[str, np.ndarray] = {}
+    for block, tree in unet_params.items():
+        if "attn2" not in (tree or {}):
+            continue
+        base = _torch_block_name(block) + ".transformer_blocks.0.attn2"
+        a = tree["attn2"]
+        for proj in ("to_q", "to_k", "to_v"):
+            p = a[proj]
+            w = np.asarray(p["base"]["kernel"] if "base" in p else p["kernel"]).T
+            if use_lora and "lora_A" in p:
+                out[f"{base}.{proj}.base_layer.weight"] = w
+                out[f"{base}.{proj}.lora_A.default.weight"] = np.asarray(p["lora_A"]).T
+                out[f"{base}.{proj}.lora_B.default.weight"] = np.asarray(p["lora_B"]).T
+            else:
+                out[f"{base}.{proj}.weight"] = w
+        out[f"{base}.processor.to_k_ip.0.weight"] = np.asarray(
+            a["to_k_ip"]["kernel"]
+        ).T
+        out[f"{base}.processor.to_v_ip.0.weight"] = np.asarray(
+            a["to_v_ip"]["kernel"]
+        ).T
+    return out
+
+
+def save_progress_pt(
+    output_dir: str,
+    params: PhotoVerseParams,
+    step: Optional[int] = None,
+    lora_config: Optional[dict] = None,
+) -> str:
+    """Write a reference-format photoverse_{step:06}.pt checkpoint
+    ({image_adapter, text_adapter, cross_attention_adapter, lora_config?},
+    modeling_utils.py:29-50) loadable by the reference's
+    load_photoverse_model AND by load_photoverse_checkpoint here —
+    round-trips torch users' weights back out of the TPU framework."""
+    import torch
+
+    def to_torch(sd: Dict[str, np.ndarray]):
+        return {k: torch.from_numpy(np.array(v, np.float32, copy=True))
+                for k, v in sd.items()}
+
+    use_lora = lora_config is not None
+    payload = {
+        "image_adapter": to_torch(_adapter_to_torch_sd(params.image_adapter)),
+        "text_adapter": to_torch(_adapter_to_torch_sd(params.text_adapter)),
+        "cross_attention_adapter": to_torch(
+            _cross_attention_to_torch_sd(params.unet, use_lora)
+        ),
+    }
+    if lora_config is not None:
+        payload["lora_config"] = lora_config
+    name = f"photoverse_{step:06d}.pt" if step is not None else "photoverse.pt"
+    path = os.path.join(output_dir, name)
+    os.makedirs(output_dir, exist_ok=True)
+    torch.save(payload, path)
     return path
 
 
@@ -214,6 +311,63 @@ def load_photoverse_checkpoint(
             np_sd(state["cross_attention_adapter"]), params.unet
         )
     return params, lora_config
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writes so the train loop never blocks on I/O.
+
+    The device->host snapshot happens synchronously on submit (arrays must be
+    copied out before the next step's donation reuses their buffers); the
+    expensive part — msgpack/torch serialization + disk write — runs on a
+    single worker thread. `wait()` drains pending writes (call before exit
+    and before any load of a just-written file). Errors surface on the next
+    submit()/wait() call rather than being swallowed."""
+
+    def __init__(self):
+        import queue as _queue
+        import threading as _threading
+
+        self._q: "_queue.Queue" = _queue.Queue()
+        self._error = None
+        self._done = _threading.Event()
+        self._thread = _threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args, kwargs = item
+            try:
+                fn(*args, **kwargs)
+            except Exception as e:  # surfaced on next submit/wait
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def submit(self, fn, *args, **kwargs):
+        """Snapshot jax arrays in args/kwargs to host numpy, then enqueue."""
+        self._check()
+        host = lambda t: jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, t
+        )
+        self._q.put((fn, tuple(host(a) for a in args),
+                     {k: host(v) for k, v in kwargs.items()}))
+
+    def wait(self):
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
 
 
 def load_progress(

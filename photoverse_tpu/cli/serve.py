@@ -107,6 +107,7 @@ class PhotoVerseService:
         if "{}" not in prompt:
             prompt = prompt + " {}" if prompt else "a photo of a {}"
 
+        tmp_path = None
         if "image_b64" in req:
             img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
             tmp = io.BytesIO()
@@ -115,15 +116,23 @@ class PhotoVerseService:
 
             with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
                 f.write(tmp.getvalue())
-                path = f.name
+                tmp_path = path = f.name
         else:
             path = req["image_path"]
 
-        example = preprocess_image_for_inference(
-            path, self.tokenizer, template=prompt,
-            negative_prompt=req.get("negative_prompt"), num_of_samples=n,
-            size=self.args.resolution, clip_size=self.clip_size,
-        )
+        try:
+            example = preprocess_image_for_inference(
+                path, self.tokenizer, template=prompt,
+                negative_prompt=req.get("negative_prompt"), num_of_samples=n,
+                size=self.args.resolution, clip_size=self.clip_size,
+            )
+        finally:
+            # request-scoped temp PNG: unlink so a long-running server
+            # doesn't leak one file per /generate call
+            if tmp_path is not None:
+                import os
+
+                os.unlink(tmp_path)
         dev = {
             k: jnp.asarray(v)
             for k, v in example.items()

@@ -59,6 +59,15 @@ def parse_args(argv=None):
     p.add_argument("--hub_model_id", type=str, default=None)
     p.add_argument("--face_loss", type=str, default=None,
                    choices=["arcface", "facenet"])
+    p.add_argument("--face_model_weights", type=str, default=None,
+                   help="Pretrained ArcFace/FaceNet .pt weights for the face "
+                        "loss (converted on load). Required for a meaningful "
+                        "identity signal; the reference downloads these "
+                        "automatically (utils/arcface_utils.py:159-177)")
+    p.add_argument("--allow_random_face_model", action="store_true",
+                   help="Run --face_loss with randomly-initialized embedder "
+                        "weights anyway (testing only; the identity loss is "
+                        "meaningless without pretrained weights)")
     p.add_argument("--face_loss_sample_ratio", type=float, default=0.25)
     p.add_argument("--use_lora", action="store_true")
     p.add_argument("--lora_alpha", type=float, default=1)
@@ -71,6 +80,14 @@ def parse_args(argv=None):
     p.add_argument("--resume_from", type=str, default=None,
                    help="Native .msgpack checkpoint to fully resume from "
                         "(weights + optimizer state + global step)")
+    p.add_argument("--checkpoint_format", type=str, default="native",
+                   choices=["native", "pt", "both"],
+                   help="native: msgpack with optimizer state (full resume); "
+                        "pt: reference-format photoverse_{step}.pt "
+                        "(modeling_utils.py:29-50, torch-loadable); both")
+    p.add_argument("--async_checkpointing", action="store_true",
+                   help="Write checkpoints on a background thread so the "
+                        "train step never waits on checkpoint I/O")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash self-attention (exact; TPU fast path)")
     p.add_argument("--remat", action="store_true",
@@ -113,7 +130,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from photoverse_tpu.ckpt.checkpoint import combine_params, save_progress
+    from photoverse_tpu.ckpt.checkpoint import (
+        AsyncCheckpointer,
+        combine_params,
+        save_progress,
+        save_progress_pt,
+    )
     from photoverse_tpu.core.schedulers import DPMSolverMultistep
     from photoverse_tpu.data.dataset import (
         BatchLoader,
@@ -131,6 +153,7 @@ def main(argv=None):
     from photoverse_tpu.models.assembly import load_models
     from photoverse_tpu.parallel.mesh import (
         batch_sharding,
+        host_batch_slice,
         make_mesh,
         replicated,
         shard_batch,
@@ -144,6 +167,13 @@ def main(argv=None):
     from photoverse_tpu.utils.metrics import MetricsWriter
 
     seed = args.seed if args.seed is not None else 0
+    if args.mixed_precision == "fp16":
+        # fp16 has no native TPU compute path (the MXU computes in bf16/f32);
+        # accepting it silently would run f32 — refuse instead of lying
+        raise ValueError(
+            "--mixed_precision fp16 is not supported on TPU; use bf16 "
+            "(the TPU-native half precision) or no"
+        )
     dtype = jnp.bfloat16 if args.mixed_precision == "bf16" else jnp.float32
 
     tokenizer, modules, params, lora_config = load_models(
@@ -177,7 +207,21 @@ def main(argv=None):
     if args.face_loss:
         from photoverse_tpu.models.face_loss import make_face_loss_fn
 
-        face_loss_fn = make_face_loss_fn(args.face_loss)
+        if args.face_model_weights is None and not args.allow_random_face_model:
+            raise ValueError(
+                f"--face_loss {args.face_loss} requires --face_model_weights "
+                "(pretrained embedder .pt); a randomly-initialized embedder "
+                "produces a meaningless identity signal. Pass "
+                "--allow_random_face_model to override for testing."
+            )
+        if args.face_model_weights is None:
+            print(
+                "WARNING: --face_loss with RANDOM embedder weights "
+                "(--allow_random_face_model): the identity loss is noise."
+            )
+        face_loss_fn = make_face_loss_fn(
+            args.face_loss, weights_path=args.face_model_weights
+        )
         face_solver = DPMSolverMultistep.create(modules.schedule, 10)
 
     cfg = TrainConfig(
@@ -219,10 +263,17 @@ def main(argv=None):
         dataset = CustomDatasetWithMasks(
             args.data_root_path, mask_subfolder=args.mask_subfolder, **ds_kw
         )
+    # multi-host: every process decodes only its rows of each global batch
+    # (all hosts share the shuffle seed, so slices tile the global batch)
+    host_slice = (
+        host_batch_slice(args.train_batch_size) if jax.process_count() > 1 else None
+    )
+    host_bs = args.train_batch_size // jax.process_count()
     loader = BatchLoader(
         dataset, args.train_batch_size, shuffle=True, seed=seed,
         num_workers=args.dataloader_num_workers,
         native=args.native_loader and args.mask_subfolder is None,
+        host_slice=host_slice,
     )
 
     # data-parallel mesh over the largest device count dividing the batch
@@ -246,8 +297,19 @@ def main(argv=None):
     )
 
     writer = None
+    hub_repo_name = None
     if jax.process_index() == 0:
         os.makedirs(args.output_dir, exist_ok=True)
+        if args.push_to_hub:
+            # reference train.py:315-321: resolve the repo name and set up
+            # the hub repo on the main process before training
+            from photoverse_tpu.utils.hub import create_hub_repo, get_full_repo_name
+
+            hub_repo_name = args.hub_model_id or get_full_repo_name(
+                os.path.basename(os.path.normpath(args.output_dir)),
+                token=args.hub_token,
+            )
+            create_hub_repo(hub_repo_name, token=args.hub_token)
         writer = MetricsWriter(
             args.output_dir, report_to=args.report_to, config=vars(args)
         )
@@ -261,6 +323,22 @@ def main(argv=None):
         f"  Devices = {jax.device_count()}\n"
         f"  Total optimization steps = {args.max_train_steps}"
     )
+
+    ckpt_async = AsyncCheckpointer() if args.async_checkpointing else None
+
+    def save_ckpt(params_, opt_state_, step_):
+        if args.checkpoint_format in ("native", "both"):
+            kw = dict(step=step_, lora_config=lora_config, opt_state=opt_state_)
+            if ckpt_async is not None:
+                ckpt_async.submit(save_progress, args.output_dir, params_, **kw)
+            else:
+                save_progress(args.output_dir, params_, **kw)
+        if args.checkpoint_format in ("pt", "both"):
+            kw = dict(step=step_, lora_config=lora_config)
+            if ckpt_async is not None:
+                ckpt_async.submit(save_progress_pt, args.output_dir, params_, **kw)
+            else:
+                save_progress_pt(args.output_dir, params_, **kw)
 
     # preemption/SIGTERM-safe: checkpoint and exit cleanly at the next step
     # boundary (the recovery story for elastic TPU capacity, SURVEY.md 5.3)
@@ -291,19 +369,20 @@ def main(argv=None):
                 "concept_placeholder_idx"
             ].reshape(-1)
             if args.face_loss:
-                n_face = max(
-                    int(args.face_loss_sample_ratio * args.train_batch_size), 1
-                )
+                # the face sub-batch is sliced per host from this host's rows;
+                # round n_face up to a multiple of the local device count so
+                # the assembled global face batch shards evenly over the mesh
+                n_face = max(int(args.face_loss_sample_ratio * host_bs), 1)
+                dev_per_host = max(n_mesh // jax.process_count(), 1)
+                n_face = -(-n_face // dev_per_host) * dev_per_host
                 ex = prepare_prompt(
                     tokenizer, "a photo of {}", "*",
-                    num_of_samples=args.train_batch_size,
+                    num_of_samples=host_bs,
                 )
                 merged = dict(batch)
                 merged["text_input_ids"] = ex["text_input_ids"]
                 merged["concept_placeholder_idx"] = ex["concept_placeholder_idx"]
-                sliced = random_batch_slicing(
-                    merged, args.train_batch_size, n_face, face_rng
-                )
+                sliced = random_batch_slicing(merged, host_bs, n_face, face_rng)
                 host_batch["face_pixel_values"] = sliced["pixel_values"]
                 host_batch["face_pixel_values_clip"] = sliced["pixel_values_clip"]
                 host_batch["face_text_input_ids"] = sliced["text_input_ids"]
@@ -343,11 +422,11 @@ def main(argv=None):
             if stop_requested["flag"]:
                 if jax.process_index() == 0:
                     print(f"termination requested — checkpointing at step {global_step}")
-                    save_progress(
-                        args.output_dir, combine_params(trainable, frozen),
-                        step=global_step, lora_config=lora_config,
-                        opt_state=opt_state,
+                    save_ckpt(
+                        combine_params(trainable, frozen), opt_state, global_step
                     )
+                    if ckpt_async is not None:
+                        ckpt_async.close()
                 return
 
             if global_step % args.samples_save_steps == 0 and writer is not None:
@@ -358,22 +437,22 @@ def main(argv=None):
                     save_images_grid, jnp, jax,
                 )
             if global_step % args.checkpoint_save_steps == 0 and jax.process_index() == 0:
-                save_progress(
-                    args.output_dir, combine_params(trainable, frozen),
-                    step=global_step, lora_config=lora_config, opt_state=opt_state,
-                )
+                save_ckpt(combine_params(trainable, frozen), opt_state, global_step)
             if global_step >= args.max_train_steps:
                 break
         if global_step >= args.max_train_steps:
             break
 
     if jax.process_index() == 0:
-        save_progress(
-            args.output_dir, combine_params(trainable, frozen),
-            lora_config=lora_config, opt_state=opt_state,
-        )
+        save_ckpt(combine_params(trainable, frozen), opt_state, None)
+        if ckpt_async is not None:
+            ckpt_async.close()
         if writer is not None:
             writer.close()
+        if args.push_to_hub and hub_repo_name is not None:
+            from photoverse_tpu.utils.hub import push_to_hub
+
+            push_to_hub(args.output_dir, hub_repo_name, token=args.hub_token)
 
 
 def _save_samples(

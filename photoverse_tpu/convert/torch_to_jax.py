@@ -17,12 +17,67 @@ Covered checkpoint families (all named after the reference's usage):
 
 from __future__ import annotations
 
-from typing import Dict, Mapping
+from typing import Callable, Dict, Iterable, Mapping
 
 import numpy as np
 
 Array = np.ndarray
 StateDict = Mapping[str, Array]
+
+
+class TrackedStateDict(Mapping):
+    """Mapping wrapper recording which keys a converter consumed.
+
+    `convert_strict` uses it to prove a conversion is exhaustive: any source
+    key never read (modulo ignores) means the converter — and therefore the
+    model it feeds — is missing a parameter of the real checkpoint."""
+
+    def __init__(self, sd: StateDict):
+        self._sd = sd
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return self._sd[k]
+
+    def __contains__(self, k):
+        return k in self._sd
+
+    def __iter__(self):
+        return iter(self._sd)
+
+    def __len__(self):
+        return len(self._sd)
+
+
+# non-parameter buffers that may appear in older torch dumps
+_DEFAULT_IGNORES = ("position_ids", "num_batches_tracked")
+
+
+def convert_strict(
+    convert_fn: Callable[..., Dict],
+    sd: StateDict,
+    ignore: Iterable[str] = _DEFAULT_IGNORES,
+    **kwargs,
+) -> Dict:
+    """Run a converter and error on any unconsumed source key.
+
+    Missing keys already raise KeyError inside the converter; this adds the
+    other direction, so convert_strict(convert_unet, sd) passing means the
+    converter's output tree accounts for every tensor in the checkpoint."""
+    tracked = TrackedStateDict(sd)
+    out = convert_fn(tracked, **kwargs)
+    leftover = sorted(
+        k for k in sd
+        if k not in tracked.consumed and not any(i in k for i in ignore)
+    )
+    if leftover:
+        raise ValueError(
+            f"{convert_fn.__name__}: {len(leftover)} checkpoint keys not "
+            f"consumed (model would silently drop them): {leftover[:8]}"
+            + ("..." if len(leftover) > 8 else "")
+        )
+    return out
 
 
 def _stack(sd: StateDict, fmt: str, n: int) -> Array:

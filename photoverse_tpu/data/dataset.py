@@ -76,9 +76,16 @@ class CustomDataset:
         return len(self.image_paths)
 
     def __getitem__(self, idx: int) -> Dict:
+        return self.example(idx)
+
+    def example(self, idx: int, rng: np.random.RandomState = None) -> Dict:
+        """Like __getitem__ but with an explicit RandomState for template
+        sampling — np.random.RandomState is not thread-safe, so concurrent
+        BatchLoader workers each pass their own (seeded) state instead of
+        racing on self.rng."""
         template = self.template
         if self.use_random_templates:
-            template = self.rng.choice(IMAGENET_TEMPLATES_SMALL)
+            template = (rng or self.rng).choice(IMAGENET_TEMPLATES_SMALL)
         example = prepare_prompt(self.tokenizer, template, self.placeholder_token)
         return self._prepare_image(example, idx)
 
@@ -147,9 +154,16 @@ class BatchLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         native: bool = False,
+        host_slice: slice = None,
     ):
+        """`batch_size` is the GLOBAL batch size; with `host_slice` set
+        (multi-host training, parallel.mesh.host_batch_slice) each process
+        decodes only its slice of every global batch — all hosts share the
+        same seed so the global shuffle order is identical, and the
+        concatenation of the host slices is exactly the single-host batch."""
         self.dataset = dataset
         self.batch_size = batch_size
+        self.host_slice = host_slice
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.num_workers = max(num_workers, 1)
@@ -163,7 +177,7 @@ class BatchLoader:
 
             self._native_loader = get_loader(num_threads=self.num_workers)
 
-    def _native_batch(self, idxs) -> Dict:
+    def _native_batch(self, idxs, rng: np.random.RandomState) -> Dict:
         ds = self.dataset
         paths = [ds.image_paths[int(i)] for i in idxs]
         pv, pc = self._native_loader.load_batch(
@@ -173,7 +187,7 @@ class BatchLoader:
         for _ in idxs:
             template = ds.template
             if ds.use_random_templates:
-                template = ds.rng.choice(IMAGENET_TEMPLATES_SMALL)
+                template = rng.choice(IMAGENET_TEMPLATES_SMALL)
             prompts.append(prepare_prompt(ds.tokenizer, template, ds.placeholder_token))
         return {
             "pixel_values": pv,
@@ -198,15 +212,29 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        # per-worker RandomStates (seeded from the epoch-level rng) keep
+        # template sampling race-free and seed-reproducible across workers
+        worker_seeds = self.rng.randint(0, 2**31 - 1, size=self.num_workers)
+
         def producer(worker_id: int):
+            wrng = np.random.RandomState(worker_seeds[worker_id])
             for b in range(worker_id, n_batches, self.num_workers):
                 if stop.is_set():
                     return
                 idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                if self.host_slice is not None:
+                    idxs = idxs[self.host_slice]
                 if self._native_loader is not None:
-                    q.put((b, self._native_batch(idxs)))
+                    q.put((b, self._native_batch(idxs, wrng)))
                 else:
-                    q.put((b, collate_fn([self.dataset[int(i)] for i in idxs])))
+                    q.put(
+                        (
+                            b,
+                            collate_fn(
+                                [self.dataset.example(int(i), wrng) for i in idxs]
+                            ),
+                        )
+                    )
 
         threads = [
             threading.Thread(target=producer, args=(w,), daemon=True)

@@ -126,32 +126,53 @@ def denoise(
     guidance_scale: float,
     num_grad_steps: int = 0,
     ip_mask: Optional[jnp.ndarray] = None,  # (B, Hm, Wm) identity mask
+    train: bool = False,
+    fusion_rng: Optional[jax.Array] = None,
+    dropout_rng: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Full DPM-Solver++ trajectory; optionally the last `num_grad_steps`
     steps run outside the scan with gradients enabled (reference
-    infer.py:99 uses exactly one)."""
+    infer.py:99 uses exactly one).
+
+    When `train=True`, the gradient-carrying trailing steps run the UNet in
+    training mode — stochastic fusion (per-layer, keyed off `fusion_rng`
+    folded by step index) and active LoRA dropout — mirroring the reference,
+    where `torch.is_grad_enabled()` is True on exactly those steps
+    (attention_processor.py:410-420, infer.py:99). The no-grad scanned
+    prefix always uses eval fusion (deterministic sum), like the
+    reference's `torch.no_grad()` prefix.
+    """
     use_cfg = guidance_scale != 1.0 and uncond_text_ctx is not None
     B = latents.shape[0]
-    # hoist the loop-invariant context K/V projections out of the scan
-    # (disabled when gradients must flow through them, i.e. face-loss steps)
-    use_kv_cache = num_grad_steps == 0
+    if train and num_grad_steps > 0 and fusion_rng is None:
+        raise ValueError("train=True grad steps require fusion_rng")
 
+    # hoist the loop-invariant context K/V projections out of the scan; the
+    # scanned prefix is stop-gradiented (or grad-free), so the cache never
+    # carries gradients. Grad-enabled trailing steps recompute projections
+    # so gradients flow into to_k/to_v/to_k_ip/to_v_ip and LoRA.
     if use_cfg:
         text2 = jnp.concatenate([uncond_text_ctx, text_ctx], axis=0)
         id2 = jnp.concatenate([uncond_id_ctx, id_ctx], axis=0)
         mask2 = (
             None if ip_mask is None else jnp.concatenate([ip_mask, ip_mask], axis=0)
         )
-        kv2 = precompute_ctx_kv(modules, params, text2, id2) if use_kv_cache else None
+        kv_cache = precompute_ctx_kv(modules, params, text2, id2)
+        if num_grad_steps > 0:
+            kv_cache = jax.lax.stop_gradient(kv_cache)
     else:
-        kv1 = (
-            precompute_ctx_kv(modules, params, text_ctx, id_ctx)
-            if use_kv_cache
-            else None
-        )
+        kv_cache = precompute_ctx_kv(modules, params, text_ctx, id_ctx)
+        if num_grad_steps > 0:
+            kv_cache = jax.lax.stop_gradient(kv_cache)
 
-    def eps_fn(lat, t):
+    def eps_fn(lat, t, step_train=False, step_rngs=None, use_cache=True):
         tb = jnp.broadcast_to(t, (B,))
+        kw = {}
+        if step_train:
+            kw = dict(train=True, fusion_rng=step_rngs[0])
+            rngs = {"dropout": step_rngs[1]}
+        else:
+            rngs = None
         if use_cfg:
             lat2 = jnp.concatenate([lat, lat], axis=0)
             eps2, _ = modules.unet.apply(
@@ -161,13 +182,15 @@ def denoise(
                 text2,
                 id2,
                 ip_mask=mask2,
-                ctx_kv=kv2,
+                ctx_kv=kv_cache if use_cache else None,
+                rngs=rngs,
+                **kw,
             )
             eps_u, eps_c = jnp.split(eps2, 2, axis=0)
             return eps_u + guidance_scale * (eps_c - eps_u)
         eps, _ = modules.unet.apply(
             {"params": params.unet}, lat, tb, text_ctx, id_ctx, ip_mask=ip_mask,
-            ctx_kv=kv1,
+            ctx_kv=kv_cache if use_cache else None, rngs=rngs, **kw,
         )
         return eps
 
@@ -189,7 +212,21 @@ def denoise(
             carry = jax.lax.stop_gradient(carry)
     for i in range(n_scan, n):
         x = jax.tree.map(lambda v: v[i], xs)
-        carry, _ = body(carry, x)
+        lat, m_prev = carry
+        if train:
+            step_key = jax.random.fold_in(fusion_rng, i)
+            drop_key = (
+                jax.random.fold_in(dropout_rng, i)
+                if dropout_rng is not None
+                else jax.random.fold_in(step_key, 0x5EED)
+            )
+            eps = eps_fn(
+                lat, x["t"], step_train=True, step_rngs=(step_key, drop_key),
+                use_cache=False,
+            )
+        else:
+            eps = eps_fn(lat, x["t"], use_cache=False)
+        carry = solver.step(x, lat, eps, m_prev)
     return carry[0]
 
 

@@ -102,14 +102,34 @@ def clip_groups(grads_flat: Dict, max_norm: float) -> Dict:
     return out
 
 
+def clip_groups_tx(max_norm: float) -> optax.GradientTransformation:
+    """`clip_groups` as an optax transformation so it can sit INSIDE
+    MultiSteps — clipping then applies to the fully-accumulated gradient at
+    the sync boundary, exactly like the reference's clip_grad_norm_ calls
+    under accelerator.sync_gradients (train.py:540-544), not per micro-batch."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return clip_groups(updates, max_norm), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation, optax.Schedule]:
     sched = make_lr_schedule(cfg)
-    tx = optax.adamw(
-        learning_rate=sched,
-        b1=cfg.adam_beta1,
-        b2=cfg.adam_beta2,
-        eps=cfg.adam_epsilon,
-        weight_decay=cfg.adam_weight_decay,
+    tx = optax.chain(
+        clip_groups_tx(cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=sched,
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        ),
     )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
@@ -204,7 +224,7 @@ def make_train_step(
         fids = batch["face_text_input_ids"]
         fpidx = batch["face_concept_placeholder_idx"].reshape(-1)
         n = fpx.shape[0]
-        k_noise, k_vae = jax.random.split(rng)
+        k_noise, k_vae, k_fusion, k_drop = jax.random.split(rng, 4)
         in_ch = modules.unet.config.in_channels
         noise = jax.random.normal(k_noise, (n, latent_size, latent_size, in_ch))
 
@@ -226,10 +246,14 @@ def make_train_step(
             uncond_text_ctx, _ = modules.text_encoder.apply(
                 {"params": params.text_encoder}, batch["face_uncond_input_ids"]
             )
+        # the grad-enabled trailing step runs with stochastic fusion + LoRA
+        # dropout active, matching the reference where is_grad_enabled() is
+        # True on exactly that step (attention_processor.py:410-420)
         latents = denoise(
             modules, params, face_solver, latents,
             text_ctx, id_ctx, uncond_text_ctx, uncond_id_ctx,
             cfg.face_loss_guidance, num_grad_steps=1,
+            train=True, fusion_rng=k_fusion, dropout_rng=k_drop,
         )
         gen = modules.vae.apply(
             {"params": params.vae}, latents / modules.scaling_factor, method="decode"
@@ -243,7 +267,9 @@ def make_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, batch, rng
         )
-        grads = clip_groups(grads, cfg.max_grad_norm)
+        # clipping lives inside tx (clip_groups_tx chained before adamw, and
+        # inside MultiSteps when accumulating) so it acts on the accumulated
+        # gradient at the sync boundary, like the reference
         updates, opt_state = tx.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, metrics

@@ -360,7 +360,7 @@ def load_models(
     from photoverse_tpu.convert.torch_to_jax import (
         convert_clip_text,
         convert_clip_vision,
-        convert_unet,
+        convert_strict,
         convert_vae,
     )
     from photoverse_tpu.data.tokenizer import CLIPTokenizer
@@ -378,6 +378,9 @@ def load_models(
         fast_attention_scores=fast_attention_scores,
         fast_norms=fast_norms,
     )
+    # the VAE decoder's 4096-token attention uses the streaming flash kernel
+    # under the same flag
+    vae_cfg = dataclasses.replace(vae_cfg, use_flash_attention=use_flash_attention)
     modules = build_models(
         extra_num_tokens=extra_num_tokens,
         image_encoder_layers_idx=image_encoder_layers_idx,
@@ -394,14 +397,19 @@ def load_models(
     def as_jnp(tree):
         return jax.tree.map(lambda x: jnp.asarray(x, dtype=jnp.float32), tree)
 
+    # strict conversion: error on any checkpoint key the converter does not
+    # consume (missing keys already raise) — guards against silent key drift
     text_sd = _load_torch_state_dict(_find_weight_file(os.path.join(root, "text_encoder")))
     params.text_encoder = as_jnp(
-        convert_clip_text(text_sd, num_layers=modules.text_encoder.config.num_layers)
+        convert_strict(
+            convert_clip_text, text_sd,
+            num_layers=modules.text_encoder.config.num_layers,
+        )
     )
     vae_sd = _load_torch_state_dict(_find_weight_file(os.path.join(root, "vae")))
     params.vae = as_jnp(
-        convert_vae(
-            vae_sd,
+        convert_strict(
+            convert_vae, vae_sd,
             block_out_channels=modules.vae.config.block_out_channels,
             layers_per_block=modules.vae.config.layers_per_block,
         )

@@ -239,7 +239,12 @@ class CLIPVisionEncoder(nn.Module):
                 collected[i + 1] = x
         # last_hidden_state is the raw encoder output (post_layernorm applies
         # only to the pooled CLS in transformers' CLIPVisionTransformer).
+        # The pooled path is computed so the param inventory matches the real
+        # checkpoint exactly; callers that ignore it cost nothing (XLA DCE).
         last_hidden = x
+        _ = nn.LayerNorm(
+            epsilon=cfg.layer_norm_eps, name="post_ln", dtype=self.dtype
+        )(x[:, 0])
         return last_hidden, tuple(collected[i] for i in collect_layers)
 
 

@@ -61,6 +61,9 @@ class UNetConfig:
     # store attention scores/probs in bf16 (halves self-attention HBM
     # traffic; ~6e-5 output deviation — inference fast path)
     fast_attention_scores: bool = False
+    # Pallas implicit-GEMM kernel for the 3x3 stride-1 resnet/upsample convs
+    # (ops.pallas_conv) — bf16 MXU matmuls vs XLA's conv lowering
+    use_pallas_conv: bool = False
     # run Group/LayerNorms in the compute dtype instead of f32 (halves the
     # cast traffic around every norm — inference fast path)
     fast_norms: bool = False
@@ -104,22 +107,63 @@ def _gn(
     return nn.GroupNorm(num_groups=groups, epsilon=eps, name=name, dtype=dtype)
 
 
+class Conv3x3(nn.Module):
+    """3x3 stride-1 SAME conv with the exact param layout of nn.Conv
+    (kernel (3,3,C,O) f32 + bias), dispatching to the Pallas implicit-GEMM
+    kernel (ops.pallas_conv.conv3x3_same_diff) when use_pallas is set —
+    checkpoints are interchangeable between the two paths."""
+
+    features: int
+    use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, C, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        if self.use_pallas:
+            from photoverse_tpu.ops.pallas_conv import conv3x3_same_diff
+
+            y = conv3x3_same_diff(xd, kd)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xd, kd, (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return y + bias.astype(y.dtype)
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
+        conv = lambda name: Conv3x3(
+            self.out_channels, use_pallas=self.use_pallas_conv, dtype=self.dtype,
+            name=name,
+        )
         h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype)(x)).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
+        h = conv("conv1")(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj", dtype=self.dtype)(
             jax.nn.silu(temb).astype(self.dtype)
         )
         h = h + t[:, None, None, :]
         h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype)(h)).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
+        h = conv("conv2")(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), padding="VALID", name="conv_shortcut",
@@ -186,10 +230,12 @@ class SelfAttention(nn.Module):
         v = nn.Dense(C, use_bias=False, name="to_v", dtype=self.dtype)(x).reshape(B, S, H, d)
         if self.use_flash and S >= self.flash_min_seq:
             # custom flash kernel: keeps K/V in VMEM, tuned for the SD UNet's
-            # small head dims (jax's stock kernel pads d 40->128 and loses)
+            # small head dims (jax's stock kernel pads d 40->128 and loses);
+            # fast_scores runs the kernel matmuls at the bf16 MXU rate
+            # (inference only — gradients always take the f32 path)
             from photoverse_tpu.ops.flash_sdpa import flash_sdpa_diff
 
-            out = flash_sdpa_diff(q, k, v)
+            out = flash_sdpa_diff(q, k, v, self.fast_scores)
         else:
             out = sdpa(q, k, v, fast_scores=self.fast_scores)
         out = out.reshape(B, S, C)
@@ -423,6 +469,10 @@ class UNet2DCondition(nn.Module):
 
         norm_dtype = self.dtype if cfg.fast_norms else jnp.float32
         ResnetB = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        res_kw = dict(
+            dtype=self.dtype, norm_dtype=norm_dtype,
+            use_pallas_conv=cfg.use_pallas_conv,
+        )
         TransformerB = nn.remat(TransformerBlock) if cfg.remat else TransformerBlock
         tf_kw = dict(
             num_heads=cfg.num_heads,
@@ -451,8 +501,7 @@ class UNet2DCondition(nn.Module):
             has_attn = i < n_blocks - 1
             for j in range(cfg.layers_per_block):
                 x = ResnetB(
-                    c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", dtype=self.dtype,
-                    norm_dtype=norm_dtype
+                    c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", **res_kw
                 )(x, temb)
                 if has_attn:
                     u, kv = next_layer_args()
@@ -470,7 +519,7 @@ class UNet2DCondition(nn.Module):
                 skips.append(x)
 
         # mid
-        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_0", dtype=self.dtype, norm_dtype=norm_dtype)(
+        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_0", **res_kw)(
             x, temb
         )
         u, kv = next_layer_args()
@@ -478,7 +527,7 @@ class UNet2DCondition(nn.Module):
             x, text_ctx, id_ctx, u, ip_mask, kv
         )
         norms.append(vn)
-        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", dtype=self.dtype, norm_dtype=norm_dtype)(
+        x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", **res_kw)(
             x, temb
         )
 
@@ -490,8 +539,7 @@ class UNet2DCondition(nn.Module):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip.astype(self.dtype)], axis=-1)
                 x = ResnetB(
-                    c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", dtype=self.dtype,
-                    norm_dtype=norm_dtype
+                    c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", **res_kw
                 )(x, temb)
                 if has_attn:
                     u, kv = next_layer_args()
@@ -502,8 +550,9 @@ class UNet2DCondition(nn.Module):
             if i < n_blocks - 1:
                 B, Hh, Ww, C = x.shape
                 x = jax.image.resize(x, (B, Hh * 2, Ww * 2, C), method="nearest")
-                x = nn.Conv(
-                    c, (3, 3), padding=1, name=f"up_{i}_upsample", dtype=self.dtype
+                x = Conv3x3(
+                    c, use_pallas=cfg.use_pallas_conv, dtype=self.dtype,
+                    name=f"up_{i}_upsample",
                 )(x)
 
         x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(self.dtype)

@@ -32,6 +32,10 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_num_groups: int = 32
     scaling_factor: float = 0.18215
+    # streaming flash kernel for the mid-block 4096-token single-head
+    # attention (d=512): avoids the (B, S, S) score materialization.
+    # Differentiable (chunked-recompute VJP) — safe for the face-loss path.
+    use_flash_attention: bool = False
 
 
 def _gn(name: str, groups: int = 32) -> nn.GroupNorm:
@@ -71,22 +75,41 @@ class ResnetBlock(nn.Module):
 
 
 class AttnBlock(nn.Module):
-    """Single-head full spatial self-attention (VAE mid block)."""
+    """Single-head full spatial self-attention (VAE mid block).
+
+    With use_flash and a long sequence, the (B, S, S) score materialization
+    (64 MB/image f32 at the 64x64 latent level) is replaced by the streaming
+    Pallas flash kernel (ops.flash_sdpa.flash_sdpa_stream_diff): K/V chunks
+    ride the grid, accumulators live in VMEM scratch."""
 
     channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+    flash_min_seq: int = 1024
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
-        h = _gn("group_norm", self.groups)(x).reshape(B, H * W, C).astype(self.dtype)
+        S = H * W
+        h = _gn("group_norm", self.groups)(x).reshape(B, S, C).astype(self.dtype)
         q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
         k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
         v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
-        scores = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(scores * (C**-0.5), axis=-1).astype(x.dtype)
-        ctx = jnp.einsum("bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32)
+        if self.use_flash and S >= self.flash_min_seq:
+            from photoverse_tpu.ops.flash_sdpa import flash_sdpa_stream_diff
+
+            ctx = flash_sdpa_stream_diff(
+                q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+            )[:, :, 0, :]
+        else:
+            scores = jnp.einsum(
+                "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+            )
+            probs = jax.nn.softmax(scores * (C**-0.5), axis=-1).astype(x.dtype)
+            ctx = jnp.einsum(
+                "bqk,bkc->bqc", probs, v, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
         out = nn.Dense(C, name="to_out", dtype=self.dtype)(ctx.astype(self.dtype))
         return x.astype(self.dtype) + out.reshape(B, H, W, C)
 
@@ -121,11 +144,15 @@ class MidBlock(nn.Module):
     channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = ResnetBlock(self.channels, self.groups, self.dtype, name="resnet_0")(x)
-        x = AttnBlock(self.channels, self.groups, self.dtype, name="attn")(x)
+        x = AttnBlock(
+            self.channels, self.groups, self.dtype, use_flash=self.use_flash,
+            name="attn",
+        )(x)
         return ResnetBlock(self.channels, self.groups, self.dtype, name="resnet_1")(x)
 
 
@@ -144,7 +171,8 @@ class Encoder(nn.Module):
                 x = ResnetBlock(c, cfg.norm_num_groups, dt, name=f"down_{i}_res_{j}")(x)
             if i < len(ch) - 1:
                 x = Downsample(c, dt, name=f"down_{i}_downsample")(x)
-        x = MidBlock(ch[-1], cfg.norm_num_groups, dt, name="mid")(x)
+        x = MidBlock(ch[-1], cfg.norm_num_groups, dt,
+             use_flash=cfg.use_flash_attention, name="mid")(x)
         x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(dt)
         # moments in f32: logvar feeds exp()
         return _conv(2 * cfg.latent_channels, 3, "conv_out", dtype=jnp.float32)(
@@ -162,7 +190,8 @@ class Decoder(nn.Module):
         dt = self.dtype
         ch = list(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
         x = _conv(ch[0], 3, "conv_in", dtype=dt)(z.astype(dt))
-        x = MidBlock(ch[0], cfg.norm_num_groups, dt, name="mid")(x)
+        x = MidBlock(ch[0], cfg.norm_num_groups, dt,
+             use_flash=cfg.use_flash_attention, name="mid")(x)
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block + 1):
                 x = ResnetBlock(c, cfg.norm_num_groups, dt, name=f"up_{i}_res_{j}")(x)

@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_sdpa"]
+__all__ = [
+    "flash_sdpa",
+    "flash_sdpa_diff",
+    "flash_sdpa_stream",
+    "flash_sdpa_stream_diff",
+]
 
 
 def _kernel_lse(q_ref, k_ref, v_ref, out_ref, lse_ref, *, tk: int):
@@ -60,26 +65,33 @@ def _kernel_lse(q_ref, k_ref, v_ref, out_ref, lse_ref, *, tk: int):
     lse_ref[0] = jnp.broadcast_to(m + jnp.log(l), (m.shape[0], 8))
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, *, tk: int):
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, tk: int, fast: bool):
     # q_ref: (1, TQ, d); k_ref/v_ref: (1, S, d); out_ref: (1, TQ, d)
+    # fast=True keeps the MXU operands in bf16 (f32 accumulation): the QK^T
+    # and PV matmuls run at the bf16 systolic rate instead of f32 — the
+    # softmax statistics stay f32, deviation ~1e-3 on unit-scale inputs.
     TQ, d = q_ref.shape[1], q_ref.shape[2]
     S = k_ref.shape[1]
     scale = d**-0.5
-    q = q_ref[0].astype(jnp.float32) * scale  # (TQ, d)
+    cdt = jnp.bfloat16 if fast else jnp.float32
+    q = q_ref[0].astype(cdt)  # (TQ, d)
 
     nk = S // tk
 
     def body(j, carry):
         acc, m, l = carry
-        k = k_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)  # (TK, d)
-        v = v_ref[0, pl.ds(j * tk, tk), :].astype(jnp.float32)
+        k = k_ref[0, pl.ds(j * tk, tk), :].astype(cdt)  # (TK, d)
+        v = v_ref[0, pl.ds(j * tk, tk), :].astype(cdt)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (TQ, TK)
+        ) * scale  # (TQ, TK) f32
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(cdt), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         return acc, m_new, l
 
@@ -90,19 +102,21 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, tk: int):
     out_ref[0] = (acc / l).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("q_tile", "k_tile"))
+@functools.partial(jax.jit, static_argnames=("q_tile", "k_tile", "fast_scores"))
 def flash_sdpa(
     q: jnp.ndarray,  # (B, S, H, d)
     k: jnp.ndarray,
     v: jnp.ndarray,
     q_tile: int = 512,
     k_tile: int = 4096,
+    fast_scores: bool = False,
 ) -> jnp.ndarray:
     """Self-attention without score materialization; returns (B, S, H, d).
 
     Defaults measured on v5e at the SD 64x64 level (S=4096): the largest
     k chunk that keeps the (q_tile, k_tile) f32 score tile within VMEM is
     ~14% faster than small chunks (fewer online-softmax rescales).
+    fast_scores runs the MXU matmuls in bf16 (f32 accumulation).
     """
     B, S, H, d = q.shape
     BH = B * H
@@ -121,7 +135,7 @@ def flash_sdpa(
 
     qf, kf, vf = fold(q), fold(k), fold(v)
     out = pl.pallas_call(
-        functools.partial(_kernel, tk=tk),
+        functools.partial(_kernel, tk=tk, fast=fast_scores),
         out_shape=jax.ShapeDtypeStruct((BH, S, d), q.dtype),
         grid=(BH, S // tq),
         in_specs=[
@@ -321,18 +335,177 @@ def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
     return _unfold(dq, B, H), _unfold(dk, B, H), _unfold(dv, B, H)
 
 
-# differentiable wrapper: Pallas forward AND backward
+# ---------------------------------------------------------------------------
+# streaming variant: K/V chunks arrive as GRID blocks (not VMEM-resident) —
+# for large head dims where S*d no longer fits in VMEM (the SD VAE decoder's
+# 4096-token, d=512 single-head attention, models/vae.py AttnBlock; the
+# reference materializes (B, 4096, 4096) scores through diffusers here).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_stream(q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, fast: bool):
+    # grid (BH, nq, nk) with k innermost; acc/m/l persist in VMEM scratch
+    # across the k dimension and flush to out on the last k block.
+    j = pl.program_id(2)
+    d = q_ref.shape[2]
+    scale = d**-0.5
+    cdt = jnp.bfloat16 if fast else jnp.float32
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(cdt)
+    k = k_ref[0].astype(cdt)
+    v = v_ref[0].astype(cdt)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (TQ, TK) f32
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(cdt), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        out_ref[0] = (acc_ref[:] / l_ref[:, :1]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_tile", "k_tile", "fast_scores")
+)
+def flash_sdpa_stream(
+    q: jnp.ndarray,  # (B, S, H, d)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_tile: int = 256,
+    k_tile: int = 1024,
+    fast_scores: bool = False,
+) -> jnp.ndarray:
+    """Flash attention with K/V streamed from HBM block-by-block.
+
+    VMEM per step: one (tq, d) q block, two (tk, d) K/V blocks (double-
+    buffered by Pallas), the (tq, tk) f32 score tile, and (tq, d) f32
+    accumulator scratch — independent of S*d, so d=512 at S=4096 fits."""
+    B, S, H, d = q.shape
+    BH = B * H
+    tq = min(q_tile, S)
+    while S % tq:
+        tq -= 1
+    tk = min(k_tile, S)
+    while S % tk:
+        tk -= 1
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(BH, S, d)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    out = pl.pallas_call(
+        functools.partial(_kernel_stream, fast=fast_scores),
+        out_shape=jax.ShapeDtypeStruct((BH, S, d), q.dtype),
+        grid=(BH, S // tq, S // tk),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tq, d), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * S * S * d,
+            bytes_accessed=(BH * S * d * (2 * S // tq + 2)) * q.dtype.itemsize,
+            transcendentals=BH * S * S,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(B, H, S, d).transpose(0, 2, 1, 3)
+
+
+def _chunked_sdpa_ref(q, k, v, chunk: int = 512):
+    """Differentiable XLA reference with bounded memory: scan over K chunks
+    with online softmax. Used as the VJP path of flash_sdpa_stream_diff
+    (backward recomputes activations chunk-by-chunk; no (S, S) tensor)."""
+    B, S, H, d = q.shape
+    while S % chunk:
+        chunk -= 1
+    scale = d**-0.5
+    qt = q.transpose(0, 2, 1, 3).astype(jnp.float32) * scale  # (B, H, S, d)
+    kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
+    n = S // chunk
+    kc = kt.reshape(B, H, n, chunk, d).transpose(2, 0, 1, 3, 4)
+    vc = vt.reshape(B, H, n, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    def body(carry, x):
+        acc, m, l = carry
+        kj, vj = x
+        s = jnp.einsum("bhqd,bhkd->bhqk", qt, kj, preferred_element_type=jnp.float32)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        acc = acc * alpha + jnp.einsum(
+            "bhqk,bhkd->bhqd", p, vj, preferred_element_type=jnp.float32
+        )
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        return (acc, m_new, l), None
+
+    acc0 = jnp.zeros((B, H, S, d), jnp.float32)
+    m0 = jnp.full((B, H, S, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, H, S, 1), jnp.float32)
+    (acc, _, l), _ = jax.lax.scan(body, (acc0, m0, l0), (kc, vc))
+    return (acc / l).transpose(0, 2, 1, 3).astype(q.dtype)
+
+
 @jax.custom_vjp
-def flash_sdpa_diff(q, k, v):
-    return flash_sdpa(q, k, v)
+def flash_sdpa_stream_diff(q, k, v):
+    """flash_sdpa_stream forward; chunked-XLA recompute backward (the VAE
+    decode carries gradients in the face-loss inner generation)."""
+    return flash_sdpa_stream(q, k, v)
 
 
-def _fwd(q, k, v):
+def _stream_fwd(q, k, v):
+    return flash_sdpa_stream(q, k, v), (q, k, v)
+
+
+def _stream_bwd(res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(_chunked_sdpa_ref, q, k, v)
+    return vjp(g)
+
+
+flash_sdpa_stream_diff.defvjp(_stream_fwd, _stream_bwd)
+
+
+# differentiable wrapper: Pallas forward AND backward. fast_scores only
+# affects the no-grad primal (inference fast path); under differentiation
+# the f32 lse forward + Pallas backward run regardless, keeping training
+# gradients exact.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_sdpa_diff(q, k, v, fast_scores=False):
+    return flash_sdpa(q, k, v, fast_scores=fast_scores)
+
+
+def _fwd(q, k, v, fast_scores):
     out, lse = _flash_fwd_lse(q, k, v)
     return out, (q, k, v, out, lse)
 
 
-def _bwd(res, g):
+def _bwd(fast_scores, res, g):
     q, k, v, out, lse = res
     return _flash_bwd(q, k, v, out, lse, g)
 

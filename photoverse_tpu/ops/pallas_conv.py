@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_same"]
+__all__ = ["conv3x3_same", "conv3x3_same_diff"]
 
 
 def _kernel(x_ref, w_ref, out_ref, acc_ref):
@@ -116,3 +116,32 @@ def conv3x3_same(
         ),
     )(xp, w)
     return out
+
+
+def _xla_conv3x3(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def conv3x3_same_diff(x, w):
+    """conv3x3_same with gradients: Pallas implicit-GEMM forward, XLA conv
+    backward (the transpose/filter-grad convs are large-batch shapes XLA
+    already handles well; the forward at small batch is where XLA leaves
+    >2x on the table, PERFORMANCE.md)."""
+    return conv3x3_same(x, w)
+
+
+def _c33_fwd(x, w):
+    return conv3x3_same(x, w), (x, w)
+
+
+def _c33_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(_xla_conv3x3, x, w)
+    return vjp(g)
+
+
+conv3x3_same_diff.defvjp(_c33_fwd, _c33_bwd)

@@ -40,9 +40,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the batch axis sharded."""
+    """Device-put a host batch pytree with the batch axis sharded.
+
+    Single-process: a plain sharded device_put. Multi-host (multi-controller
+    JAX): `batch` holds only this process's rows (BatchLoader host_slice) and
+    the global array is assembled from the per-process shards with
+    `make_array_from_process_local_data` — no host ever materializes the
+    full global batch, replacing the reference's DataLoader rank sharding
+    (train.py:397-403)."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+        batch,
+    )
 
 
 def host_batch_slice(global_batch_size: int) -> slice:
