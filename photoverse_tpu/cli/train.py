@@ -48,6 +48,12 @@ def parse_args(argv=None):
     p.add_argument("--image_encoder_layers_idx", nargs="+", type=int,
                    default=[4, 8, 12, 16])
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--auto_grad_accum", action="store_true",
+                   help="When the per-chip micro-batch would exceed "
+                        "--max_microbatch_per_chip (v5e-16GB fits ~8 at "
+                        "512px), automatically split the train batch into "
+                        "accumulation micro-steps instead of OOMing")
+    p.add_argument("--max_microbatch_per_chip", type=int, default=8)
     p.add_argument("--lr_scheduler", type=str, default="constant")
     p.add_argument("--denoise_timesteps", type=int, default=10)
     p.add_argument("--guidance_scale", type=float, default=2.0)
@@ -224,6 +230,35 @@ def main(argv=None):
         )
         face_solver = DPMSolverMultistep.create(modules.schedule, 10)
 
+    # auto grad-accum: split the train batch into micro-steps when the
+    # per-chip slice would exceed HBM (v5e-16GB fits ~8 at 512px). Gradients
+    # accumulate inside optax.MultiSteps; clipping applies to the
+    # accumulated gradient at the sync boundary (engine.training).
+    n_mesh_pre = jax.device_count()
+    while args.train_batch_size % n_mesh_pre:
+        n_mesh_pre -= 1
+    accum = args.gradient_accumulation_steps
+    micro_batch = args.train_batch_size
+    if args.auto_grad_accum and accum == 1:
+        per_chip = args.train_batch_size // n_mesh_pre
+        if per_chip > args.max_microbatch_per_chip:
+            for cand in range(2, per_chip + 1):
+                micro = args.train_batch_size // cand
+                if (
+                    args.train_batch_size % cand == 0
+                    and micro % n_mesh_pre == 0
+                    and micro // n_mesh_pre <= args.max_microbatch_per_chip
+                ):
+                    accum = cand
+                    micro_batch = micro
+                    break
+            print(
+                f"auto_grad_accum: micro-batch {micro_batch} x {accum} "
+                f"accumulation steps ({micro_batch // n_mesh_pre}/chip)"
+            )
+    elif accum > 1:
+        micro_batch = args.train_batch_size
+
     cfg = TrainConfig(
         learning_rate=args.learning_rate,
         adam_beta1=args.adam_beta1,
@@ -233,7 +268,7 @@ def main(argv=None):
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=args.max_train_steps,
-        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        gradient_accumulation_steps=accum,
         face_loss_guidance=args.guidance_scale,
     )
     tx, lr_sched = make_optimizer(cfg)
@@ -266,11 +301,11 @@ def main(argv=None):
     # multi-host: every process decodes only its rows of each global batch
     # (all hosts share the shuffle seed, so slices tile the global batch)
     host_slice = (
-        host_batch_slice(args.train_batch_size) if jax.process_count() > 1 else None
+        host_batch_slice(micro_batch) if jax.process_count() > 1 else None
     )
-    host_bs = args.train_batch_size // jax.process_count()
+    host_bs = micro_batch // jax.process_count()
     loader = BatchLoader(
-        dataset, args.train_batch_size, shuffle=True, seed=seed,
+        dataset, micro_batch, shuffle=True, seed=seed,
         num_workers=args.dataloader_num_workers,
         native=args.native_loader and args.mask_subfolder is None,
         host_slice=host_slice,
@@ -278,7 +313,7 @@ def main(argv=None):
 
     # data-parallel mesh over the largest device count dividing the batch
     n_mesh = jax.device_count()
-    while args.train_batch_size % n_mesh:
+    while micro_batch % n_mesh:
         n_mesh -= 1
     mesh = make_mesh(n_mesh)
     repl = replicated(mesh)
@@ -314,7 +349,7 @@ def main(argv=None):
             args.output_dir, report_to=args.report_to, config=vars(args)
         )
 
-    num_update_steps_per_epoch = math.ceil(len(loader) / args.gradient_accumulation_steps)
+    num_update_steps_per_epoch = math.ceil(len(loader) / accum)
     num_epochs = math.ceil(args.max_train_steps / max(num_update_steps_per_epoch, 1))
     print(
         f"~~~~~ Running training ~~~~~\n"
@@ -353,6 +388,8 @@ def main(argv=None):
     rng = np.random.RandomState(seed)
     face_rng = np.random.RandomState(seed + 1)
     global_step = start_step
+    micro_step = 0
+    accum_time = 0.0
     key = jax.random.PRNGKey(seed + start_step)
     profile_range = None
     if args.profile_steps:
@@ -403,17 +440,24 @@ def main(argv=None):
             if profile_range and global_step == profile_range[1]:
                 jax.block_until_ready(metrics)
                 jax.profiler.stop_trace()
+            # global_step counts OPTIMIZER steps: with accumulation the
+            # update (and clip) applies inside MultiSteps every accum-th
+            # micro-batch (reference sync_gradients boundary)
+            micro_step += 1
+            accum_time += time.perf_counter() - t_step
+            if micro_step % accum:
+                continue
             global_step += 1
+            step_s, accum_time = accum_time, 0.0
 
             if writer is not None:
-                step_s = time.perf_counter() - t_step
                 logs = {
                     "loss_mle": metrics["loss_mle"],
                     "loss_reg_concept_text": metrics["loss_reg_concept_text"],
                     "loss_reg_cross_attn_visual": metrics["loss_reg_cross_attn_visual"],
                     "lr": lr_sched(global_step),
                     "step_time_s": step_s,
-                    "imgs_per_sec": args.train_batch_size / max(step_s, 1e-9),
+                    "imgs_per_sec": micro_batch * accum / max(step_s, 1e-9),
                 }
                 if args.face_loss:
                     logs["loss_face"] = metrics["loss_face"]

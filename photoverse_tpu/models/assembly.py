@@ -108,7 +108,7 @@ def build_models(
         fast_attention_scores=fast_attention_scores,
         fast_norms=fast_norms,
     )
-    vae_cfg = vae_config or VAEConfig()
+    vae_cfg = vae_config or VAEConfig(use_flash_attention=use_flash_attention)
     text_cfg = text_config or CLIPTextConfig()
     vision_cfg = vision_config or CLIPVisionConfig()
     num_tokens = extra_num_tokens + 1

@@ -303,3 +303,45 @@ def test_train_cli_face_loss_requires_weights(tmp_path):
             "--image_encoder_layers_idx", "1", "2", "3", "4",
             "--cpu",
         ])
+
+
+def test_train_cli_kill_and_resume(tmp_path):
+    """Preemption recovery e2e: train 2 steps, then resume from the step-2
+    checkpoint and continue to step 4 — metrics must show steps 3 and 4 with
+    the restored optimizer state (no step counter reset)."""
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    from tests.test_cli_e2e import _make_checkpoint
+    from photoverse_tpu.cli.train import main
+
+    root = _make_checkpoint(tmp_path)
+    data_root = tmp_path / "ds"
+    (data_root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            data_root / "images" / f"{i}.jpg"
+        )
+    out_dir = tmp_path / "run"
+    common = [
+        "--pretrained_model_name_or_path", str(root),
+        "--data_root_path", str(data_root),
+        "--output_dir", str(out_dir),
+        "--resolution", "32", "--train_batch_size", "2",
+        "--checkpoint_save_steps", "2", "--samples_save_steps", "1000",
+        "--image_encoder_layers_idx", "1", "2", "3", "4",
+        "--dataloader_num_workers", "1", "--seed", "0", "--cpu",
+    ]
+    main(common + ["--max_train_steps", "2"])
+    ckpt = out_dir / "photoverse_000002.msgpack"
+    assert ckpt.exists()
+    main(common + ["--max_train_steps", "4", "--resume_from", str(ckpt)])
+    steps = [
+        _json.loads(line)["step"]
+        for line in (out_dir / "metrics.jsonl").read_text().strip().splitlines()
+    ]
+    assert 3 in steps and 4 in steps, steps
+    assert max(steps) == 4
