@@ -38,8 +38,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--from_noised_image", action="store_true")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU)")
-    p.add_argument("--pallas_attention", action="store_true",
-                   help="Fused Pallas dual-context attention (TPU)")
     p.add_argument("--ip_adapter_mask_path", type=str, default=None,
                    help="Optional grayscale mask restricting where identity "
                         "tokens attend (spatial IP-adapter mask)")
@@ -96,7 +94,6 @@ def main(argv=None):
         photoverse_path=ckpt,
         image_encoder_layers_idx=tuple(args.encoder_layers_idx),
         dtype=dtype,
-        use_pallas_attention=args.pallas_attention,
         use_flash_attention=args.fast,
         fast_attention_scores=args.fast,
         fast_norms=args.fast,

@@ -91,7 +91,6 @@ def build_models(
     lora_alpha: float = 1.0,
     lora_dropout: float = 0.0,
     dtype: jnp.dtype = jnp.float32,
-    use_pallas_attention: bool = False,
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
     fast_norms: bool = False,
@@ -103,7 +102,6 @@ def build_models(
     """Construct module definitions at SD-1.5 scale (or overridden configs)."""
     unet_cfg = unet_config or UNetConfig(
         lora_rank=lora_rank, lora_alpha=lora_alpha, lora_dropout=lora_dropout,
-        use_pallas_attention=use_pallas_attention,
         use_flash_attention=use_flash_attention,
         fast_attention_scores=fast_attention_scores,
         fast_norms=fast_norms,
@@ -247,8 +245,7 @@ def _read_json(folder: str, name: str = "config.json") -> Optional[dict]:
         return json.load(f)
 
 
-def _configs_from_checkpoint(root: str, lora_rank, lora_alpha, lora_dropout,
-                             use_pallas_attention):
+def _configs_from_checkpoint(root: str, lora_rank, lora_alpha, lora_dropout):
     """Derive module configs from the diffusers/transformers config.json
     files when present (so non-SD-1.5-scale checkpoints load correctly)."""
     u = _read_json(os.path.join(root, "unet")) or {}
@@ -269,7 +266,6 @@ def _configs_from_checkpoint(root: str, lora_rank, lora_alpha, lora_dropout,
         lora_rank=lora_rank,
         lora_alpha=lora_alpha,
         lora_dropout=lora_dropout,
-        use_pallas_attention=use_pallas_attention,
     )
     vae_cfg = VAEConfig(
         in_channels=v.get("in_channels", 3),
@@ -343,7 +339,6 @@ def load_models(
     image_encoder_path: Optional[str] = None,
     image_encoder_layers_idx: Tuple[int, ...] = (4, 8, 12, 16),
     dtype: jnp.dtype = jnp.float32,
-    use_pallas_attention: bool = False,
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
     fast_norms: bool = False,
@@ -370,7 +365,6 @@ def load_models(
     ie_path = image_encoder_path or os.path.join(root, "image_encoder")
     unet_cfg, vae_cfg, text_cfg = _configs_from_checkpoint(
         root, lora_rank if use_lora else 0, lora_alpha, lora_dropout,
-        use_pallas_attention,
     )
     unet_cfg = dataclasses.replace(
         unet_cfg,

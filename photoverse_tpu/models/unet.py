@@ -51,8 +51,6 @@ class UNetConfig:
     fusion_scale: float = 2.0
     fusion_rule1: float = 1.0 / 3.0
     fusion_rule2: float = 2.0 / 3.0
-    # fused Pallas dual-context attention for the inference path (TPU)
-    use_pallas_attention: bool = False
     # rematerialize resnet/transformer blocks (activation checkpointing) —
     # trades FLOPs for HBM in large-batch training
     remat: bool = False
@@ -61,9 +59,6 @@ class UNetConfig:
     # store attention scores/probs in bf16 (halves self-attention HBM
     # traffic; ~6e-5 output deviation — inference fast path)
     fast_attention_scores: bool = False
-    # Pallas implicit-GEMM kernel for the 3x3 stride-1 resnet/upsample convs
-    # (ops.pallas_conv) — bf16 MXU matmuls vs XLA's conv lowering
-    use_pallas_conv: bool = False
     # run Group/LayerNorms in the compute dtype instead of f32 (halves the
     # cast traffic around every norm — inference fast path)
     fast_norms: bool = False
@@ -107,63 +102,22 @@ def _gn(
     return nn.GroupNorm(num_groups=groups, epsilon=eps, name=name, dtype=dtype)
 
 
-class Conv3x3(nn.Module):
-    """3x3 stride-1 SAME conv with the exact param layout of nn.Conv
-    (kernel (3,3,C,O) f32 + bias), dispatching to the Pallas implicit-GEMM
-    kernel (ops.pallas_conv.conv3x3_same_diff) when use_pallas is set —
-    checkpoints are interchangeable between the two paths."""
-
-    features: int
-    use_pallas: bool = False
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        C = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, C, self.features),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        xd = x.astype(self.dtype)
-        kd = kernel.astype(self.dtype)
-        if self.use_pallas:
-            from photoverse_tpu.ops.pallas_conv import conv3x3_same_diff
-
-            y = conv3x3_same_diff(xd, kd)
-        else:
-            y = jax.lax.conv_general_dilated(
-                xd, kd, (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-        return y + bias.astype(y.dtype)
-
-
 class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
-    use_pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
-        conv = lambda name: Conv3x3(
-            self.out_channels, use_pallas=self.use_pallas_conv, dtype=self.dtype,
-            name=name,
-        )
         h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype)(x)).astype(self.dtype)
-        h = conv("conv1")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj", dtype=self.dtype)(
             jax.nn.silu(temb).astype(self.dtype)
         )
         h = h + t[:, None, None, :]
         h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype)(h)).astype(self.dtype)
-        h = conv("conv2")(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
                 self.out_channels, (1, 1), padding="VALID", name="conv_shortcut",
@@ -257,7 +211,6 @@ class DualCrossAttention(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
-    use_pallas: bool = False
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -312,25 +265,6 @@ class DualCrossAttention(nn.Module):
             v_ip_norm = jnp.sqrt(
                 jnp.sum(jnp.square(v_ip.astype(jnp.float32)), axis=-1)
             ).transpose(0, 2, 1)
-        elif self.use_pallas:
-            from photoverse_tpu.ops.pallas_attention import (
-                dual_context_attention_fused,
-            )
-
-            if train:
-                # fold the stochastic fusion branch into blend coefficients
-                # (see ops.attention.fuse_outputs for the rule semantics)
-                u = fusion_u.astype(jnp.float32)
-                s = jnp.float32(self.fusion_scale)
-                c_text = jnp.where(u < 1 / 3, s, jnp.where(u > 2 / 3, 0.0, 1.0))
-                c_id = jnp.where(u < 1 / 3, 0.0, jnp.where(u > 2 / 3, s, 1.0))
-                coefs = jnp.stack([c_text, c_id])
-            else:
-                coefs = jnp.asarray([1.0, 1.0], jnp.float32)
-            fused = dual_context_attention_fused(q, k, v, k_ip, v_ip, coefs)
-            v_ip_norm = jnp.sqrt(
-                jnp.sum(jnp.square(v_ip.astype(jnp.float32)), axis=-1)
-            ).transpose(0, 2, 1)
         else:
             fused, v_ip_norm = dual_context_attention(
                 q, k, v, k_ip, v_ip,
@@ -350,7 +284,6 @@ class TransformerBlock(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
-    use_pallas: bool = False
     use_flash: bool = False
     fast_scores: bool = False
     train: bool = False
@@ -388,7 +321,6 @@ class TransformerBlock(nn.Module):
             lora_alpha=self.lora_alpha,
             lora_dropout=self.lora_dropout,
             fusion_scale=self.fusion_scale,
-            use_pallas=self.use_pallas,
             train=self.train,
             name="attn2",
             dtype=self.dtype,
@@ -469,10 +401,7 @@ class UNet2DCondition(nn.Module):
 
         norm_dtype = self.dtype if cfg.fast_norms else jnp.float32
         ResnetB = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
-        res_kw = dict(
-            dtype=self.dtype, norm_dtype=norm_dtype,
-            use_pallas_conv=cfg.use_pallas_conv,
-        )
+        res_kw = dict(dtype=self.dtype, norm_dtype=norm_dtype)
         TransformerB = nn.remat(TransformerBlock) if cfg.remat else TransformerBlock
         tf_kw = dict(
             num_heads=cfg.num_heads,
@@ -481,7 +410,6 @@ class UNet2DCondition(nn.Module):
             lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout,
             fusion_scale=cfg.fusion_scale,
-            use_pallas=cfg.use_pallas_attention,
             use_flash=cfg.use_flash_attention,
             fast_scores=cfg.fast_attention_scores,
             train=train,
@@ -550,9 +478,8 @@ class UNet2DCondition(nn.Module):
             if i < n_blocks - 1:
                 B, Hh, Ww, C = x.shape
                 x = jax.image.resize(x, (B, Hh * 2, Ww * 2, C), method="nearest")
-                x = Conv3x3(
-                    c, use_pallas=cfg.use_pallas_conv, dtype=self.dtype,
-                    name=f"up_{i}_upsample",
+                x = nn.Conv(
+                    c, (3, 3), padding=1, name=f"up_{i}_upsample", dtype=self.dtype
                 )(x)
 
         x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(self.dtype)

@@ -15,9 +15,10 @@ Here the op is a pure function returning (fused_output, v_ip_norm):
     static train/eval split, not a grad-mode probe;
   - the side channel becomes a functional auxiliary output.
 
-A fused Pallas kernel (photoverse_tpu.ops.pallas_attention) implements the
-same contract for the 2D spatial shapes of the SD UNet and is selected via
-`use_pallas` when running on TPU.
+(A fused dual-context Pallas kernel was built and measured in round 2 —
+it LOST to this jnp path end-to-end because the custom-call boundary forces
+layout copies around XLA's exotic activation layouts; see PERFORMANCE.md
+"Round 2 findings". The tiny-context attentions stay on XLA.)
 """
 
 from __future__ import annotations

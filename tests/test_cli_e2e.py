@@ -114,7 +114,7 @@ def test_unet_attention_head_dim_interpretation(tmp_path):
     (root / "unet" / "config.json").write_text(
         json.dumps({"attention_head_dim": 8, "block_out_channels": [320, 640]})
     )
-    unet_cfg, _, _ = _configs_from_checkpoint(str(root), 0, 1.0, 0.0, False)
+    unet_cfg, _, _ = _configs_from_checkpoint(str(root), 0, 1.0, 0.0)
     assert unet_cfg.num_heads == 8
     assert unet_cfg.block_out_channels == (320, 640)
 

@@ -144,32 +144,6 @@ def test_lora_zero_init_is_identity(pair):
     del base_params
 
 
-def test_pallas_unet_matches_default(pair):
-    """use_pallas_attention UNet output equals the jnp path (interpret mode)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    _, unet, params = pair
-    cfg_p = UNetConfig(
-        block_out_channels=(32, 64),
-        layers_per_block=1,
-        cross_attention_dim=16,
-        num_heads=2,
-        norm_num_groups=8,
-        use_pallas_attention=True,
-    )
-    unet_p = UNet2DCondition(config=cfg_p)
-    rng = np.random.RandomState(7)
-    s = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
-    t = jnp.asarray([42])
-    tc = jnp.asarray(rng.randn(1, 7, 16).astype(np.float32))
-    ic = jnp.asarray(rng.randn(1, 3, 16).astype(np.float32))
-    want, norms1 = unet.apply({"params": params}, s, t, tc, ic)
-    with pltpu.force_tpu_interpret_mode():
-        got, norms2 = unet_p.apply({"params": params}, s, t, tc, ic)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(norms1), np.asarray(norms2), rtol=1e-4, atol=1e-5)
-
-
 def test_remat_unet_train_matches_and_grads_flow():
     """remat=True must be numerically identical and differentiable."""
     cfg = UNetConfig(
