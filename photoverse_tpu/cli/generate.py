@@ -32,7 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_timesteps", type=int, default=25)
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--results_dir", type=str, default="results")
-    p.add_argument("--text", type=str, default="a photo of a {}")
+    p.add_argument("--text", type=str, nargs="+", default=["a photo of a {}"],
+                   help="Prompt template(s) with {} for the identity token; "
+                        "multiple templates batch over the one identity in a "
+                        "single CFG denoise (BASELINE config 2)")
     p.add_argument("--negative_prompt", type=str, default=None)
     p.add_argument("--num_of_samples", type=int, default=None)
     p.add_argument("--from_noised_image", action="store_true")
@@ -52,7 +55,12 @@ def preprocess_image_for_inference(
     negative_prompt=None, num_of_samples=None, size=512, interpolation="bicubic",
     clip_size=224,
 ):
-    """Reference generate.py:37-62 equivalent, NHWC numpy outputs."""
+    """Reference generate.py:37-62 equivalent, NHWC numpy outputs.
+
+    `template` may be one template string (reference behavior) or a list of
+    templates — then the batch is the templates x num_of_samples over the
+    single identity photo, all denoised in one CFG call (BASELINE config 2:
+    8 prompts x 1 identity)."""
     from PIL import Image
 
     from photoverse_tpu.data.preprocessing import clip_preprocess, preprocess_image
@@ -61,16 +69,43 @@ def preprocess_image_for_inference(
     raw = Image.open(image_path)
     if raw.mode != "RGB":
         raw = raw.convert("RGB")
-    example = prepare_prompt(
-        tokenizer, template, placeholder_token,
-        negative_prompt=negative_prompt, num_of_samples=num_of_samples,
+    templates = [template] if isinstance(template, str) else list(template)
+    exs = [
+        prepare_prompt(
+            tokenizer, t, placeholder_token,
+            negative_prompt=negative_prompt, num_of_samples=num_of_samples,
+        )
+        for t in templates
+    ]
+    if len(exs) == 1:
+        example = exs[0]
+    else:
+        def cat(key):
+            return np.concatenate(
+                [np.asarray(e[key]).reshape(-1, np.asarray(e[key]).shape[-1])
+                 for e in exs]
+            )
+
+        texts = []
+        for e in exs:
+            texts.extend(e["text"] if isinstance(e["text"], list) else [e["text"]])
+        example = {
+            "text": texts,
+            "text_input_ids": cat("text_input_ids"),
+            "concept_placeholder_idx": cat("concept_placeholder_idx"),
+            "negative_text_input_ids": (
+                cat("negative_text_input_ids")
+                if exs[0].get("negative_text_input_ids") is not None
+                else None
+            ),
+        }
+    n = example["text_input_ids"].shape[0]
+    example["pixel_values_clip"] = np.repeat(
+        clip_preprocess(raw, clip_size)[None], n, axis=0
     )
-    example["pixel_values_clip"] = clip_preprocess(raw, clip_size)[None]
-    example["pixel_values"] = preprocess_image(raw, size, interpolation)[None]
-    n = num_of_samples or 1
-    if num_of_samples:
-        example["pixel_values"] = np.repeat(example["pixel_values"], n, axis=0)
-        example["pixel_values_clip"] = np.repeat(example["pixel_values_clip"], n, axis=0)
+    example["pixel_values"] = np.repeat(
+        preprocess_image(raw, size, interpolation)[None], n, axis=0
+    )
     return example
 
 

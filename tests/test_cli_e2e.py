@@ -142,10 +142,13 @@ def test_generate_cli_end_to_end(tmp_path):
         "--guidance_scale", "2.0",
         "--negative_prompt", "bad photo",
         "--num_of_samples", "2",
+        "--text", "a photo of a {}", "the photo of {}",
         "--encoder_layers_idx", "1", "2", "3", "4",
         "--seed", "7",
     ])
-    for i in range(2):
+    # 2 templates x num_of_samples 2 = 4 images (BASELINE config 2 shape:
+    # several prompts x one identity in a single CFG denoise)
+    for i in range(4):
         p = results / f"gen{i}.png"
         assert p.exists()
         img = np.asarray(Image.open(p))
