@@ -94,6 +94,9 @@ def parse_args(argv=None):
     p.add_argument("--async_checkpointing", action="store_true",
                    help="Write checkpoints on a background thread so the "
                         "train step never waits on checkpoint I/O")
+    p.add_argument("--shard_optimizer_state", action="store_true",
+                   help="ZeRO-1-style: shard the Adam moments over the data "
+                        "axis (each chip holds 1/N of the optimizer state)")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash self-attention (exact; TPU fast path)")
     p.add_argument("--remat", action="store_true",
@@ -134,6 +137,14 @@ def main(argv=None):
     import time
 
     import jax
+
+    if args.cpu:
+        # the axon TPU plugin ignores the JAX_PLATFORMS env var; forcing CPU
+        # requires the config route (must run before backend init)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
 
     from photoverse_tpu.ckpt.checkpoint import (
@@ -163,6 +174,7 @@ def main(argv=None):
         make_mesh,
         replicated,
         shard_batch,
+        zero1_sharding,
     )
     from photoverse_tpu.utils.image import (
         denormalize,
@@ -318,7 +330,15 @@ def main(argv=None):
     mesh = make_mesh(n_mesh)
     repl = replicated(mesh)
     put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
-    trainable, frozen, opt_state = put(trainable), put(frozen), put(opt_state)
+    trainable, frozen = put(trainable), put(frozen)
+    if args.shard_optimizer_state and n_mesh > 1:
+        # ZeRO-1: each chip holds 1/n_mesh of the Adam moments; GSPMD
+        # inserts the gather/scatter around the optimizer update
+        opt_sharding = zero1_sharding(mesh, opt_state)
+        opt_state = jax.tree.map(jax.device_put, opt_state, opt_sharding)
+    else:
+        opt_sharding = repl
+        opt_state = put(opt_state)
 
     step_fn = make_train_step(
         modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=face_solver,
@@ -326,8 +346,8 @@ def main(argv=None):
     )
     jstep = jax.jit(
         step_fn,
-        in_shardings=(repl, repl, repl, batch_sharding(mesh), repl),
-        out_shardings=(repl, repl, repl),
+        in_shardings=(repl, repl, opt_sharding, batch_sharding(mesh), repl),
+        out_shardings=(repl, opt_sharding, repl),
         donate_argnums=(0, 2),
     )
 

@@ -16,7 +16,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch", "host_batch_slice"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "host_batch_slice",
+    "zero1_sharding",
+]
 
 DATA_AXIS = "data"
 
@@ -55,6 +62,30 @@ def shard_batch(mesh: Mesh, batch):
         lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
         batch,
     )
+
+
+def zero1_sharding(mesh: Mesh, tree):
+    """ZeRO-1-style sharding spec for an optimizer-state pytree.
+
+    Every array leaf whose leading dim divides over the data axis is sharded
+    on that axis; scalars/odd shapes stay replicated. With params replicated
+    and gradients reduced across the mesh, jit'ing the train step with the
+    optimizer state in/out under this spec makes each device hold and
+    update only its 1/N slice of the Adam moments (GSPMD inserts the
+    required collectives) — the optimizer-memory story of ZeRO stage 1
+    without a custom partitioner. Replaces nothing in the reference (which
+    has no sharding at all); see SURVEY.md §5.8."""
+    n = mesh.devices.size
+    sharded = NamedSharding(mesh, P(DATA_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    def spec(x):
+        shape = getattr(x, "shape", None)
+        if shape and len(shape) >= 1 and shape[0] % n == 0 and shape[0] > 0:
+            return sharded
+        return repl
+
+    return jax.tree.map(spec, tree)
 
 
 def host_batch_slice(global_batch_size: int) -> slice:
