@@ -39,6 +39,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 + flash attention + bf16 scores")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default configuration at startup")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU platform (the axon TPU plugin "
+                        "ignores the JAX_PLATFORMS env var)")
+    p.add_argument("--native_tokenizer", action="store_true",
+                   help="Tokenize prompts with the C++ BPE tokenizer "
+                        "(native/tokenizer.cc; parity-tested vs the Python "
+                        "implementation, builds on first use)")
     return p
 
 
@@ -66,6 +73,19 @@ class PhotoVerseService:
             fast_attention_scores=args.fast,
             fast_norms=args.fast,
         )
+        if args.native_tokenizer:
+            from photoverse_tpu.data.native_tokenizer import (
+                NativeCLIPTokenizer,
+                NativeTokenizerUnavailable,
+            )
+
+            try:
+                self.tokenizer = NativeCLIPTokenizer.from_pretrained(
+                    args.model_path, subfolder="tokenizer"
+                )
+            except NativeTokenizerUnavailable as e:
+                print(f"WARNING: native tokenizer unavailable ({e}); "
+                      "using the Python tokenizer")
         factor = 2 ** (len(self.modules.vae.config.block_out_channels) - 1)
         self.latent_size = args.resolution // factor
         self.clip_size = self.modules.vision_encoder.config.image_size
@@ -207,6 +227,13 @@ def make_handler(service: PhotoVerseService):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     service = PhotoVerseService(args)
     if args.warmup:
         print("[serve] warming up default pipeline...")

@@ -161,7 +161,12 @@ class CLIPTokenizer:
         ids: List[int] = []
         for tok in _PAT.findall(text):
             tok = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
-            ids.extend(self.encoder[t] for t in self.bpe(tok).split(" "))
+            # unknown symbols map to the unk token (= endoftext), like
+            # transformers' CLIPTokenizer
+            ids.extend(
+                self.encoder.get(t, self.eos_token_id)
+                for t in self.bpe(tok).split(" ")
+            )
         return ids
 
     def __call__(

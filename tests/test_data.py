@@ -38,6 +38,10 @@ def _tiny_tokenizer(tmp_path):
         if merged not in vocab:
             vocab[merged] = len(vocab)
     vocab["*</w>"] = len(vocab)
+    for c in "0123456789,.!?'":
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    vocab["'s</w>"] = len(vocab)
     vocab["<|startoftext|>"] = len(vocab)
     vocab["<|endoftext|>"] = len(vocab)
     d = tmp_path / "tokenizer"
