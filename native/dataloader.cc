@@ -293,6 +293,119 @@ int pv_load_batch(const char** paths, int n, int size, int clip_size,
   return ok.load();
 }
 
+// Decode + preprocess a batch of (image, face-mask) pairs — the
+// CustomDatasetWithMasks pipeline (reference datasets/custom.py:118-173):
+//   pixel_values      <- plain resize/crop/normalize of the image
+//   pixel_values_clip <- image resized to the mask's size, background
+//                        zeroed where mask == 0, cropped to the mask bbox
+//                        expanded by 15% each side and squared, then
+//                        CLIP-preprocessed
+// Returns the number of successfully loaded pairs (failures leave zeros).
+int pv_load_batch_masked(const char** img_paths, const char** mask_paths,
+                         int n, int size, int clip_size, int num_threads,
+                         float* out_pixel_values,
+                         float* out_pixel_values_clip) {
+  std::atomic<int> ok{0};
+  std::atomic<int> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      float* pv = out_pixel_values + size_t(i) * size * size * 3;
+      float* pc = out_pixel_values_clip + size_t(i) * clip_size * clip_size * 3;
+      ImageU8 img, mask;
+      if (!decode_file(img_paths[i], &img) ||
+          !decode_file(mask_paths[i], &mask)) {
+        memset(pv, 0, size_t(size) * size * 3 * sizeof(float));
+        memset(pc, 0, size_t(clip_size) * clip_size * 3 * sizeof(float));
+        continue;
+      }
+      // VAE branch: same as the unmasked path
+      std::vector<float> a;
+      resize_crop(img, size, a);
+      for (size_t j = 0; j < a.size(); ++j)
+        pv[j] = std::min(std::max(a[j] * 2.f - 1.f, -1.f), 1.f);
+
+      // CLIP branch: resize the image to the mask's dimensions (PIL
+      // bicubic, the raw_image.resize(raw_mask.size) step)
+      const int mh = mask.h, mw = mask.w;
+      std::vector<float> fin(size_t(img.h) * img.w * 3);
+      for (size_t j = 0; j < fin.size(); ++j) fin[j] = img.data[j] / 255.f;
+      std::vector<float> reshaped;
+      resize_f32(fin, img.h, img.w, reshaped, mh, mw);
+
+      // zero the background and find the mask bbox (mask uses channel 0 of
+      // the RGB-expanded decode — masks are single-channel PNGs)
+      int ymin = mh, ymax = -1, xmin = mw, xmax = -1;
+      ImageU8 crop_src;
+      std::vector<uint8_t> masked(size_t(mh) * mw * 3, 0);
+      for (int y = 0; y < mh; ++y) {
+        for (int x = 0; x < mw; ++x) {
+          uint8_t mv = mask.data[(size_t(y) * mw + x) * 3];
+          if (mv != 0) {
+            if (y < ymin) ymin = y;
+            if (y > ymax) ymax = y;
+            if (x < xmin) xmin = x;
+            if (x > xmax) xmax = x;
+            for (int c = 0; c < 3; ++c) {
+              float v = reshaped[(size_t(y) * mw + x) * 3 + c];
+              v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+              masked[(size_t(y) * mw + x) * 3 + c] =
+                  uint8_t(v * 255.f + 0.5f);
+            }
+          }
+        }
+      }
+      if (ymax < 0) {  // empty mask
+        memset(pc, 0, size_t(clip_size) * clip_size * 3 * sizeof(float));
+        ok.fetch_add(1);
+        continue;
+      }
+      // bbox expansion + squaring, matching crop_to_mask_and_scale's
+      // integer arithmetic exactly (scale 0.15 each side, then square by
+      // extending the shorter axis)
+      const double scale = 0.15;
+      int height = ymax - ymin;
+      int width = xmax - xmin;
+      ymin = std::max(0, int(ymin - height * scale));
+      ymax = std::min(mh, int(ymax + height * scale));
+      xmin = std::max(0, int(xmin - width * scale));
+      xmax = std::min(mw, int(xmax + width * scale));
+      int crop_w = xmax - xmin;
+      int crop_h = ymax - ymin;
+      if (crop_w > crop_h) {
+        crop_h = crop_w;
+        ymax = std::min(mh, ymax + crop_h / 2);
+        ymin = std::max(0, ymin - crop_h / 2);
+      } else if (crop_h > crop_w) {
+        crop_w = crop_h;
+        xmax = std::min(mw, xmax + crop_w / 2);
+        xmin = std::max(0, xmin - crop_w / 2);
+      }
+      crop_src.h = ymax - ymin;
+      crop_src.w = xmax - xmin;
+      crop_src.data.resize(size_t(crop_src.h) * crop_src.w * 3);
+      for (int y = 0; y < crop_src.h; ++y)
+        memcpy(&crop_src.data[size_t(y) * crop_src.w * 3],
+               &masked[((size_t(y) + ymin) * mw + xmin) * 3],
+               size_t(crop_src.w) * 3);
+      std::vector<float> b;
+      resize_crop(crop_src, clip_size, b);
+      for (size_t j = 0; j < b.size(); ++j) {
+        int c = j % 3;
+        pc[j] = (std::min(std::max(b[j], 0.f), 1.f) - kClipMean[c]) / kClipStd[c];
+      }
+      ok.fetch_add(1);
+    }
+  };
+  int t = std::max(num_threads, 1);
+  std::vector<std::thread> threads;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return ok.load();
+}
+
 // Preprocess a single already-decoded RGB uint8 image (for the masked path,
 // where Python computes the mask crop first).
 void pv_preprocess_rgb(const uint8_t* rgb, int h, int w, int size,

@@ -82,7 +82,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--native_loader", action="store_true",
-                   help="Use the C++ batch data loader (unmasked datasets)")
+                   help="Use the C++ batch data loader (plain and masked "
+                        "datasets; native/dataloader.cc)")
     p.add_argument("--resume_from", type=str, default=None,
                    help="Native .msgpack checkpoint to fully resume from "
                         "(weights + optimizer state + global step)")
@@ -319,7 +320,7 @@ def main(argv=None):
     loader = BatchLoader(
         dataset, micro_batch, shuffle=True, seed=seed,
         num_workers=args.dataloader_num_workers,
-        native=args.native_loader and args.mask_subfolder is None,
+        native=args.native_loader,
         host_slice=host_slice,
     )
 

@@ -140,9 +140,10 @@ def collate_fn(batch: List[Dict]) -> Dict:
 class BatchLoader:
     """Shuffling, prefetching batch iterator (drop_last).
 
-    With native=True (unmasked datasets only) image decode/resize/normalize
-    runs through the C++ loader (native/dataloader.cc) — one call per batch,
-    multithreaded in C++ — instead of per-item PIL.
+    With native=True, image decode/resize/normalize (and for masked
+    datasets the background-zero + face-crop geometry) runs through the C++
+    loader (native/dataloader.cc) — one call per batch, multithreaded in
+    C++ — instead of per-item PIL.
     """
 
     def __init__(
@@ -171,8 +172,6 @@ class BatchLoader:
         self.native = native
         self._native_loader = None
         if native:
-            if isinstance(dataset, CustomDatasetWithMasks):
-                raise ValueError("native batch loading supports unmasked datasets only")
             from photoverse_tpu.data.native_loader import get_loader
 
             self._native_loader = get_loader(num_threads=self.num_workers)
@@ -180,9 +179,15 @@ class BatchLoader:
     def _native_batch(self, idxs, rng: np.random.RandomState) -> Dict:
         ds = self.dataset
         paths = [ds.image_paths[int(i)] for i in idxs]
-        pv, pc = self._native_loader.load_batch(
-            paths, size=ds.size, clip_size=ds.clip_size
-        )
+        if isinstance(ds, CustomDatasetWithMasks):
+            masks = [ds.masks_paths[int(i)] for i in idxs]
+            pv, pc = self._native_loader.load_batch_masked(
+                paths, masks, size=ds.size, clip_size=ds.clip_size
+            )
+        else:
+            pv, pc = self._native_loader.load_batch(
+                paths, size=ds.size, clip_size=ds.clip_size
+            )
         prompts = []
         for _ in idxs:
             template = ds.template

@@ -60,6 +60,12 @@ class NativeLoader:
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ]
+        lib.pv_load_batch_masked.restype = ctypes.c_int
+        lib.pv_load_batch_masked.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ]
         lib.pv_preprocess_rgb.restype = None
         lib.pv_preprocess_rgb.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -82,6 +88,30 @@ class NativeLoader:
         )
         if ok != n:
             raise IOError(f"native loader decoded {ok}/{n} images")
+        return pv, pc
+
+    def load_batch_masked(
+        self,
+        paths: List[str],
+        mask_paths: List[str],
+        size: int = 512,
+        clip_size: int = 224,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """CustomDatasetWithMasks pipeline: pixel_values from the raw image,
+        pixel_values_clip from the background-zeroed face crop."""
+        n = len(paths)
+        assert len(mask_paths) == n
+        pv = np.empty((n, size, size, 3), np.float32)
+        pc = np.empty((n, clip_size, clip_size, 3), np.float32)
+        arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        marr = (ctypes.c_char_p * n)(*[p.encode() for p in mask_paths])
+        ok = self._lib.pv_load_batch_masked(
+            arr, marr, n, size, clip_size, min(self.num_threads, n),
+            pv.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            pc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if ok != n:
+            raise IOError(f"native loader decoded {ok}/{n} image/mask pairs")
         return pv, pc
 
     def preprocess_rgb(

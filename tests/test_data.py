@@ -301,3 +301,72 @@ def test_native_batch_loader(tmp_path):
     # jpeg decode differs slightly between libjpeg paths; loose pixel check
     assert np.abs(nat[0]["pixel_values"] - py[0]["pixel_values"]).max() < 0.25
     assert nat[0]["pixel_values_clip"].shape == py[0]["pixel_values_clip"].shape
+
+
+def test_native_masked_loader_matches_python(tmp_path):
+    """pv_load_batch_masked reproduces the CustomDatasetWithMasks pipeline
+    (background zeroing + scaled/squared bbox crop + CLIP preprocessing)."""
+    try:
+        from photoverse_tpu.data.native_loader import get_loader
+        loader = get_loader()
+    except Exception as e:
+        pytest.skip(f"native loader unavailable: {e}")
+    from photoverse_tpu.data.preprocessing import apply_mask_and_crop
+
+    rng = np.random.RandomState(3)
+    x, y = np.meshgrid(np.linspace(0, 1, 96), np.linspace(0, 1, 96))
+    img = np.stack(
+        [np.sin(5 * x) * 120 + 128, np.cos(3 * y) * 120 + 128, (x + y) * 120], -1
+    ).astype(np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[18:50, 22:44] = 255  # off-center face region
+    ip = tmp_path / "img.png"
+    mp = tmp_path / "mask.png"
+    Image.fromarray(img).save(ip)
+    Image.fromarray(mask).save(mp)
+
+    pv, pc = loader.load_batch_masked([str(ip)], [str(mp)], size=48, clip_size=32)
+    ref_pv = preprocess_image(Image.open(ip), 48)
+    face = apply_mask_and_crop(Image.open(ip), Image.open(mp))
+    ref_pc = clip_preprocess(face, 32)
+    assert np.abs(pv[0] - ref_pv).max() < 0.02
+    # the image->mask-size resize goes uint8->float in C++ vs PIL uint8;
+    # plus CLIP normalization amplification — loose pixel tolerance
+    assert np.abs(pc[0] - ref_pc).max() < 0.12
+    # the background must be zeroed identically: compare the crop's support
+    assert pc.shape == (1, 32, 32, 3)
+
+
+def test_native_masked_batchloader(tmp_path):
+    try:
+        from photoverse_tpu.data.native_loader import get_loader
+        get_loader()
+    except Exception as e:
+        pytest.skip(f"native loader unavailable: {e}")
+    from photoverse_tpu.data.dataset import BatchLoader, CustomDatasetWithMasks
+
+    tok = _tiny_tokenizer(tmp_path)
+    root = tmp_path / "data4"
+    (root / "images").mkdir(parents=True)
+    (root / "masks").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(80, 80, 3) * 255).astype(np.uint8)).save(
+            root / "images" / f"{i}.png"
+        )
+        m = np.zeros((80, 80), np.uint8)
+        m[20 + i : 60, 25 : 55 + i] = 255
+        Image.fromarray(m).save(root / "masks" / f"{i}.png")
+    ds = CustomDatasetWithMasks(str(root), tok, size=32, clip_size=32)
+    nat = list(BatchLoader(ds, 2, shuffle=False, native=True, num_workers=1))
+    py = list(BatchLoader(ds, 2, shuffle=False, num_workers=1))
+    assert len(nat) == len(py) == 2
+    for b_nat, b_py in zip(nat, py):
+        np.testing.assert_array_equal(
+            b_nat["text_input_ids"], b_py["text_input_ids"]
+        )
+        assert np.abs(b_nat["pixel_values"] - b_py["pixel_values"]).max() < 0.02
+        assert (
+            np.abs(b_nat["pixel_values_clip"] - b_py["pixel_values_clip"]).max()
+            < 0.2
+        )
