@@ -310,16 +310,17 @@ struct Tokenizer {
         ++i;
         continue;
       }
-      // punctuation run [^\s\w]+
+      // punctuation run [^\s\w]+ — NOTE: like the regex, the greedy run
+      // consumes ' and < too; special tokens / contractions are only
+      // recognized at scan-start positions (the alternation is tried once
+      // per position, so "!!'s" tokenizes as ["!!'", "s"], not ["!!", "'s"])
       size_t j = i;
       while (j < text.size()) {
         unsigned char d = text[j];
-        if (std::isspace(d) || is_letterish(d) || std::isdigit(d) || d == '_' ||
-            d == '\'' || d == '<')
+        if (std::isspace(d) || is_letterish(d) || std::isdigit(d) || d == '_')
           break;
         ++j;
       }
-      if (j == i) j = i + 1;  // lone ' or < that matched nothing above
       out.push_back(text.substr(i, j - i));
       i = j;
     }

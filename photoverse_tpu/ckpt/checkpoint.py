@@ -105,8 +105,12 @@ def save_progress(
     name = f"photoverse_{step:06d}.msgpack" if step is not None else "photoverse.msgpack"
     path = os.path.join(output_dir, name)
     os.makedirs(output_dir, exist_ok=True)
-    with open(path, "wb") as f:
+    # atomic write: a preemption mid-write must never leave a truncated
+    # checkpoint as the newest resume candidate
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
+    os.replace(tmp, path)
     if lora_config is not None:
         with open(path + ".lora.json", "w") as f:
             json.dump(lora_config, f)
@@ -205,7 +209,9 @@ def save_progress_pt(
     name = f"photoverse_{step:06d}.pt" if step is not None else "photoverse.pt"
     path = os.path.join(output_dir, name)
     os.makedirs(output_dir, exist_ok=True)
-    torch.save(payload, path)
+    tmp = path + ".tmp"
+    torch.save(payload, tmp)
+    os.replace(tmp, path)
     return path
 
 

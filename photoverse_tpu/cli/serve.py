@@ -228,12 +228,9 @@ def make_handler(service: PhotoVerseService):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.cpu:
-        import jax
+        from photoverse_tpu.utils.platform import force_cpu
 
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+        force_cpu()
     service = PhotoVerseService(args)
     if args.warmup:
         print("[serve] warming up default pipeline...")

@@ -140,12 +140,9 @@ def main(argv=None):
     import jax
 
     if args.cpu:
-        # the axon TPU plugin ignores the JAX_PLATFORMS env var; forcing CPU
-        # requires the config route (must run before backend init)
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except RuntimeError:
-            pass
+        from photoverse_tpu.utils.platform import force_cpu
+
+        force_cpu()
     import jax.numpy as jnp
 
     from photoverse_tpu.ckpt.checkpoint import (
@@ -269,8 +266,9 @@ def main(argv=None):
                 f"auto_grad_accum: micro-batch {micro_batch} x {accum} "
                 f"accumulation steps ({micro_batch // n_mesh_pre}/chip)"
             )
-    elif accum > 1:
-        micro_batch = args.train_batch_size
+    # (manual --gradient_accumulation_steps keeps micro_batch == the loader
+    # batch: each loader batch is one micro-step, reference accelerate
+    # semantics)
 
     cfg = TrainConfig(
         learning_rate=args.learning_rate,
@@ -322,10 +320,11 @@ def main(argv=None):
         num_workers=args.dataloader_num_workers,
         native=args.native_loader,
         host_slice=host_slice,
+        host_id=jax.process_index(),
     )
 
     # data-parallel mesh over the largest device count dividing the batch
-    n_mesh = jax.device_count()
+    n_mesh = n_mesh_pre
     while micro_batch % n_mesh:
         n_mesh -= 1
     mesh = make_mesh(n_mesh)
@@ -381,9 +380,26 @@ def main(argv=None):
     )
 
     ckpt_async = AsyncCheckpointer() if args.async_checkpointing else None
+    if args.checkpoint_format == "pt":
+        print(
+            "WARNING: --checkpoint_format pt has no optimizer state / step "
+            "counter; --resume_from and run_train_resumable.sh need the "
+            "native format (a native checkpoint is still written on "
+            "SIGTERM/SIGINT so preemption never loses progress)"
+        )
 
-    def save_ckpt(params_, opt_state_, step_):
-        if args.checkpoint_format in ("native", "both"):
+    def save_ckpt(params_, opt_state_, step_, force_native=False):
+        # one host snapshot shared by all writers (AsyncCheckpointer.submit
+        # would otherwise copy the full tree once per format)
+        params_ = jax.tree.map(np.asarray, params_)
+        if args.checkpoint_format in ("native", "both") or force_native:
+            # ZeRO-1 under multi-host: gather non-addressable shards first
+            if (
+                args.shard_optimizer_state
+                and jax.process_count() > 1
+                and opt_state_ is not None
+            ):
+                opt_state_ = jax.jit(lambda t: t, out_shardings=repl)(opt_state_)
             kw = dict(step=step_, lora_config=lora_config, opt_state=opt_state_)
             if ckpt_async is not None:
                 ckpt_async.submit(save_progress, args.output_dir, params_, **kw)
@@ -488,7 +504,8 @@ def main(argv=None):
                 if jax.process_index() == 0:
                     print(f"termination requested — checkpointing at step {global_step}")
                     save_ckpt(
-                        combine_params(trainable, frozen), opt_state, global_step
+                        combine_params(trainable, frozen), opt_state, global_step,
+                        force_native=True,
                     )
                     if ckpt_async is not None:
                         ckpt_async.close()

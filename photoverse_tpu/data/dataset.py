@@ -156,15 +156,21 @@ class BatchLoader:
         prefetch: int = 2,
         native: bool = False,
         host_slice: slice = None,
+        host_id: int = 0,
     ):
         """`batch_size` is the GLOBAL batch size; with `host_slice` set
         (multi-host training, parallel.mesh.host_batch_slice) each process
         decodes only its slice of every global batch — all hosts share the
-        same seed so the global shuffle order is identical, and the
-        concatenation of the host slices is exactly the single-host batch."""
+        same seed so the global shuffle ORDER is identical and the host
+        slices tile the global batch's images/ids exactly. Random template
+        sampling draws from per-(host, worker) streams (pass the process
+        index as `host_id`): distinct across hosts, statistically
+        equivalent to — but not bitwise identical with — a single-host
+        run."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.host_slice = host_slice
+        self.host_id = host_id
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
         self.num_workers = max(num_workers, 1)
@@ -217,9 +223,13 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        # per-worker RandomStates (seeded from the epoch-level rng) keep
-        # template sampling race-free and seed-reproducible across workers
-        worker_seeds = self.rng.randint(0, 2**31 - 1, size=self.num_workers)
+        # per-(host, worker) RandomStates (seeded from the epoch-level rng,
+        # offset by host_id) keep template sampling race-free,
+        # seed-reproducible, and distinct across multi-host processes
+        worker_seeds = (
+            self.rng.randint(0, 2**30 - 1, size=self.num_workers)
+            + self.host_id * (2**30)
+        )
 
         def producer(worker_id: int):
             wrng = np.random.RandomState(worker_seeds[worker_id])

@@ -3,8 +3,9 @@
 Same encode contract as photoverse_tpu.data.tokenizer.CLIPTokenizer
 (__call__ -> (B, max_len) int32, BOS + ids + EOS, EOS padding). Builds the
 shared library on first use; texts the C++ approximation does not cover
-exactly (HTML entities — the Python tokenizer html-unescapes) fall back to
-the Python implementation per text, so outputs always match the reference
+exactly (HTML entities, which the Python tokenizer html-unescapes, and any
+non-ASCII text — Unicode lowercasing / letter classes) fall back to the
+Python implementation per text, so outputs always match the reference
 tokenizer.
 """
 
@@ -119,7 +120,9 @@ class NativeCLIPTokenizer:
         if isinstance(text, str):
             text = [text]
         L = max_length or self.model_max_length
-        native_idx = [i for i, t in enumerate(text) if "&" not in t]
+        # the C++ path covers ASCII exactly; entities and non-ASCII fall back
+        native_ok = lambda t: "&" not in t and t.isascii()
+        native_idx = [i for i, t in enumerate(text) if native_ok(t)]
         out = np.empty((len(text), L), np.int32)
         if native_idx:
             arr = (ctypes.c_char_p * len(native_idx))(
@@ -131,9 +134,9 @@ class NativeCLIPTokenizer:
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), L,
             )
             out[native_idx] = buf
-        # HTML entities: the Python path html-unescapes (tokenizer parity)
+        # entities / non-ASCII: the Python path handles them exactly
         for i, t in enumerate(text):
-            if "&" in t:
+            if not native_ok(t):
                 out[i] = self._py([t], max_length=L)[0]
         return out
 

@@ -17,6 +17,8 @@ MAX_RESTARTS="${MAX_RESTARTS:-100}"
 RESTART_DELAY="${RESTART_DELAY:-10}"
 
 attempt=0
+last_resume=""
+same_ckpt_failures=0
 while :; do
     resume_args=()
     latest=$(ls -1t "${OUTPUT_DIR}"/photoverse_*.msgpack 2>/dev/null | head -1)
@@ -31,6 +33,20 @@ while :; do
         echo "[resumable] training completed"
         exit 0
     fi
+    # if the SAME checkpoint fails twice in a row, assume it is corrupt
+    # (writes are atomic, but disks lie) and quarantine it so the next
+    # attempt falls back to the previous good checkpoint
+    if [[ -n "${latest:-}" && "${latest}" == "${last_resume}" ]]; then
+        same_ckpt_failures=$((same_ckpt_failures + 1))
+        if [[ $same_ckpt_failures -ge 2 ]]; then
+            echo "[resumable] quarantining ${latest} -> ${latest}.corrupt"
+            mv -f "${latest}" "${latest}.corrupt"
+            same_ckpt_failures=0
+        fi
+    else
+        same_ckpt_failures=0
+    fi
+    last_resume="${latest:-}"
     attempt=$((attempt + 1))
     if [[ $attempt -ge $MAX_RESTARTS ]]; then
         echo "[resumable] giving up after ${attempt} restarts (last rc=$rc)"

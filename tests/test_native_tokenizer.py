@@ -79,3 +79,18 @@ def test_native_matches_transformers(tmp_path):
         )["input_ids"]
         got = nat(prompt, max_length=16)[0].tolist()
         assert got == list(want), prompt
+
+
+def test_native_punctuation_run_consumes_apostrophe(tmp_path):
+    """The CLIP regex tries the alternation once per scan position, so a
+    punctuation run greedily consumes ' and < (\"!!'s\" -> [\"!!'\", \"s\"],
+    not [\"!!\", \"'s\"]) — the C++ pretokenizer must match."""
+    py, nat = _make(tmp_path)
+    for prompt in ["photo!!'s of", "photo!<the", "photo ''of", "photo <of"]:
+        np.testing.assert_array_equal(nat(prompt), py(prompt), err_msg=prompt)
+
+
+def test_native_non_ascii_falls_back(tmp_path):
+    py, nat = _make(tmp_path)
+    for prompt in ["Ünified photo", "photo of", "café photo"]:
+        np.testing.assert_array_equal(nat(prompt), py(prompt), err_msg=repr(prompt))
