@@ -118,3 +118,31 @@ def test_zero1_optimizer_sharding_matches_replicated():
     sh_leaves = jax.tree.leaves(sh_opt)
     for a, b in zip(sh_leaves[:12], ref_leaves[:12]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
+
+
+def test_shard_batch_process_local_assembly_matches_device_put():
+    """The multi-host branch of shard_batch assembles global arrays with
+    make_array_from_process_local_data; with one process (local data ==
+    global data) it must produce exactly the device_put result — validating
+    the API path the multi-host contract rides on."""
+    mesh = make_mesh(8)
+    bs = batch_sharding(mesh)
+    batch = tiny_batch(B=8, seed=11)
+    via_put = {
+        k: jax.device_put(v, bs) for k, v in batch.items()
+    }
+    via_local = {
+        k: jax.make_array_from_process_local_data(bs, np.asarray(v))
+        for k, v in batch.items()
+    }
+    for k in batch:
+        assert via_local[k].sharding == via_put[k].sharding, k
+        np.testing.assert_array_equal(
+            np.asarray(via_local[k]), np.asarray(via_put[k])
+        )
+    # and they execute under the sharded jit path
+    out = jax.jit(
+        lambda b: jnp.sum(b["pixel_values"].astype(jnp.float32)),
+        in_shardings=({k: bs for k in batch},),
+    )(via_local)
+    assert np.isfinite(float(out))
