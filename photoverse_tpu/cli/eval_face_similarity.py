@@ -60,10 +60,14 @@ def main(argv=None):
     )
     if not files:
         raise SystemExit(f"no images in {args.results_dir}")
+    # embed the input identity ONCE; each generated image embeds once
+    ref_emb = sim.face_embedding(args.input_image)
     scores = {}
     for f in files:
-        scores[f] = sim.calculate_face_similarity(
-            args.input_image, os.path.join(args.results_dir, f)
+        gen_emb = sim.face_embedding(os.path.join(args.results_dir, f))
+        scores[f] = (
+            0.0 if ref_emb is None or gen_emb is None
+            else sim.cosine(ref_emb, gen_emb)
         )
     mean = sum(scores.values()) / len(scores)
     if args.json:
@@ -73,7 +77,8 @@ def main(argv=None):
         for f, s in scores.items():
             print(f"{f:40s} {s:+.4f}")
         print(f"{'mean':40s} {mean:+.4f}")
-    return mean
+    # console-script contract: sys.exit(main()) — a float return would make
+    # every successful run exit nonzero
 
 
 if __name__ == "__main__":

@@ -388,18 +388,25 @@ def main(argv=None):
             "SIGTERM/SIGINT so preemption never loses progress)"
         )
 
+    # ZeRO-1 under multi-host: gathering the sharded Adam moments is a
+    # CROSS-HOST COLLECTIVE, so every process must run it (calling it only
+    # on process 0 would deadlock the pod); the jitted identity is built
+    # once to avoid a recompile per checkpoint
+    _gather_opt = (
+        jax.jit(lambda t: t, out_shardings=repl)
+        if args.shard_optimizer_state and jax.process_count() > 1
+        else (lambda t: t)
+    )
+
+    def gather_opt_for_save(opt_state_):
+        """Run on ALL processes at every checkpoint boundary."""
+        return _gather_opt(opt_state_) if opt_state_ is not None else None
+
     def save_ckpt(params_, opt_state_, step_, force_native=False):
         # one host snapshot shared by all writers (AsyncCheckpointer.submit
         # would otherwise copy the full tree once per format)
         params_ = jax.tree.map(np.asarray, params_)
         if args.checkpoint_format in ("native", "both") or force_native:
-            # ZeRO-1 under multi-host: gather non-addressable shards first
-            if (
-                args.shard_optimizer_state
-                and jax.process_count() > 1
-                and opt_state_ is not None
-            ):
-                opt_state_ = jax.jit(lambda t: t, out_shardings=repl)(opt_state_)
             kw = dict(step=step_, lora_config=lora_config, opt_state=opt_state_)
             if ckpt_async is not None:
                 ckpt_async.submit(save_progress, args.output_dir, params_, **kw)
@@ -427,6 +434,7 @@ def main(argv=None):
     global_step = start_step
     micro_step = 0
     accum_time = 0.0
+    profiling_active = False
     key = jax.random.PRNGKey(seed + start_step)
     profile_range = None
     if args.profile_steps:
@@ -468,15 +476,19 @@ def main(argv=None):
                 )
             dev_batch = shard_batch(mesh, host_batch)
             key, step_key = jax.random.split(key)
-            if profile_range and global_step == profile_range[0]:
+            # start once at the first micro-step of the window (global_step
+            # holds its value for `accum` micro-steps, so guard on the flag)
+            if (
+                profile_range
+                and global_step == profile_range[0]
+                and not profiling_active
+            ):
                 jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
+                profiling_active = True
             t_step = time.perf_counter()
             trainable, opt_state, metrics = jstep(
                 trainable, frozen, opt_state, dev_batch, step_key
             )
-            if profile_range and global_step == profile_range[1]:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
             # global_step counts OPTIMIZER steps: with accumulation the
             # update (and clip) applies inside MultiSteps every accum-th
             # micro-batch (reference sync_gradients boundary)
@@ -486,6 +498,10 @@ def main(argv=None):
                 continue
             global_step += 1
             step_s, accum_time = accum_time, 0.0
+            if profiling_active and global_step >= profile_range[1]:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
+                profiling_active = False
 
             if writer is not None:
                 logs = {
@@ -501,10 +517,11 @@ def main(argv=None):
                 writer.log(logs, global_step)
 
             if stop_requested["flag"]:
+                opt_save = gather_opt_for_save(opt_state)  # all processes
                 if jax.process_index() == 0:
                     print(f"termination requested — checkpointing at step {global_step}")
                     save_ckpt(
-                        combine_params(trainable, frozen), opt_state, global_step,
+                        combine_params(trainable, frozen), opt_save, global_step,
                         force_native=True,
                     )
                     if ckpt_async is not None:
@@ -518,15 +535,22 @@ def main(argv=None):
                     prepare_prompt, denormalize, denormalize_clip, to_pil,
                     save_images_grid, jnp, jax,
                 )
-            if global_step % args.checkpoint_save_steps == 0 and jax.process_index() == 0:
-                save_ckpt(combine_params(trainable, frozen), opt_state, global_step)
+            if global_step % args.checkpoint_save_steps == 0:
+                opt_save = gather_opt_for_save(opt_state)  # all processes
+                if jax.process_index() == 0:
+                    save_ckpt(
+                        combine_params(trainable, frozen), opt_save, global_step
+                    )
             if global_step >= args.max_train_steps:
                 break
         if global_step >= args.max_train_steps:
             break
 
+    if profiling_active:
+        jax.profiler.stop_trace()
+    opt_save = gather_opt_for_save(opt_state)  # all processes
     if jax.process_index() == 0:
-        save_ckpt(combine_params(trainable, frozen), opt_state, None)
+        save_ckpt(combine_params(trainable, frozen), opt_save, None)
         if ckpt_async is not None:
             ckpt_async.close()
         if writer is not None:

@@ -224,12 +224,14 @@ class BatchLoader:
         stop = threading.Event()
 
         # per-(host, worker) RandomStates (seeded from the epoch-level rng,
-        # offset by host_id) keep template sampling race-free,
-        # seed-reproducible, and distinct across multi-host processes
+        # mixed with host_id) keep template sampling race-free,
+        # seed-reproducible, and distinct across multi-host processes;
+        # the golden-ratio mix keeps seeds inside RandomState's 2**32 range
+        # for any process count
         worker_seeds = (
-            self.rng.randint(0, 2**30 - 1, size=self.num_workers)
-            + self.host_id * (2**30)
-        )
+            self.rng.randint(0, 2**31 - 1, size=self.num_workers).astype(np.uint64)
+            + np.uint64(self.host_id) * np.uint64(0x9E3779B1)
+        ) % np.uint64(2**32)
 
         def producer(worker_id: int):
             wrng = np.random.RandomState(worker_seeds[worker_id])

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import List, Tuple
 
@@ -21,10 +20,7 @@ import numpy as np
 
 __all__ = ["NativeLoaderUnavailable", "get_loader", "NativeLoader"]
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "dataloader.cc")
-_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
-_SO = os.path.join(_BUILD_DIR, "libpvdataloader.so")
+from photoverse_tpu.data._native_build import NativeBuildError, build_native_lib
 
 _lock = threading.Lock()
 _cached = None
@@ -35,20 +31,14 @@ class NativeLoaderUnavailable(RuntimeError):
 
 
 def _build() -> str:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    cmd = [
-        "g++", "-O3", "-march=native", "-ffast-math", "-funroll-loops",
-        "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO, "-ljpeg", "-lpng", "-lpthread",
-    ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        msg = getattr(e, "stderr", str(e))
-        raise NativeLoaderUnavailable(f"native loader build failed: {msg}") from e
-    return _SO
+        # -ffast-math: the resize convolutions have no NaN/inf semantics
+        return build_native_lib(
+            "dataloader.cc", "libpvdataloader.so",
+            extra_flags=["-ffast-math", "-ljpeg", "-lpng"],
+        )
+    except NativeBuildError as e:
+        raise NativeLoaderUnavailable(str(e)) from e
 
 
 class NativeLoader:

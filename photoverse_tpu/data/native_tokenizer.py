@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
 import threading
 from typing import Sequence, Union
 
@@ -23,12 +22,7 @@ from photoverse_tpu.data.tokenizer import CLIPTokenizer
 
 __all__ = ["NativeTokenizerUnavailable", "NativeCLIPTokenizer"]
 
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-)
-_SRC = os.path.join(_REPO_ROOT, "native", "tokenizer.cc")
-_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "build")
-_SO = os.path.join(_BUILD_DIR, "libpvtokenizer.so")
+from photoverse_tpu.data._native_build import NativeBuildError, build_native_lib
 
 _lock = threading.Lock()
 _lib = None
@@ -39,19 +33,10 @@ class NativeTokenizerUnavailable(RuntimeError):
 
 
 def _build() -> str:
-    os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
-    cmd = [
-        "g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO,
-        "-lpthread",
-    ]
     try:
-        subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
-        msg = getattr(e, "stderr", str(e))
-        raise NativeTokenizerUnavailable(f"native tokenizer build failed: {msg}")
-    return _SO
+        return build_native_lib("tokenizer.cc", "libpvtokenizer.so")
+    except NativeBuildError as e:
+        raise NativeTokenizerUnavailable(str(e)) from e
 
 
 def _get_lib():

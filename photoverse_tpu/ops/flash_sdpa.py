@@ -343,6 +343,21 @@ def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
 # ---------------------------------------------------------------------------
 
 
+def _kernel_stream_lse(
+    q_ref, k_ref, v_ref, out_ref, lse_ref, acc_ref, m_ref, l_ref, *, fast: bool
+):
+    # _kernel_stream plus a log-sum-exp output per query row (for the
+    # chunked backward); lse travels lane-broadcast in 128 columns
+    _kernel_stream(
+        q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, fast=fast
+    )
+    j = pl.program_id(2)
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _():
+        lse_ref[0] = m_ref[:, :1] + jnp.log(l_ref[:, :1]) + jnp.zeros_like(lse_ref[0])
+
+
 def _kernel_stream(q_ref, k_ref, v_ref, out_ref, acc_ref, m_ref, l_ref, *, fast: bool):
     # grid (BH, nq, nk) with k innermost; acc/m/l persist in VMEM scratch
     # across the k dimension and flush to out on the last k block.
@@ -436,10 +451,93 @@ def flash_sdpa_stream(
     return out.reshape(B, H, S, d).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("q_tile", "k_tile"))
+def _flash_stream_fwd_lse(q, k, v, q_tile: int = 256, k_tile: int = 1024):
+    """Streaming forward returning (out, lse (B, H, S)) for the backward."""
+    B, S, H, d = q.shape
+    BH = B * H
+    tq = min(q_tile, S)
+    while S % tq:
+        tq -= 1
+    tk = min(k_tile, S)
+    while S % tk:
+        tk -= 1
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
+    out, lse = pl.pallas_call(
+        functools.partial(_kernel_stream_lse, fast=False),
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, S, d), q.dtype),
+            jax.ShapeDtypeStruct((BH, S, 128), jnp.float32),
+        ),
+        grid=(BH, S // tq, S // tk),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tq, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, 128), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tq, d), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+            pltpu.VMEM((tq, 128), jnp.float32),
+        ],
+    )(qf, kf, vf)
+    return _unfold(out, B, H), lse[:, :, 0].reshape(B, H, S)
+
+
+def _stream_bwd_chunked(q, k, v, out, lse, g, chunk: int = 512):
+    """Exact flash backward with K/V chunking in plain XLA: per-chunk
+    probabilities are recomputed from (q, lse), so peak memory is
+    O(B*H*S*chunk) — never the full (S, S) score tensor. (jax.vjp of the
+    online-softmax forward would stack per-step probability residuals,
+    which IS a full (S, S) tensor; this avoids that.)"""
+    B, S, H, d = q.shape
+    while S % chunk:
+        chunk -= 1
+    scale = d**-0.5
+    qt = q.transpose(0, 2, 1, 3).astype(jnp.float32)  # (B, H, S, d)
+    kt = k.transpose(0, 2, 1, 3).astype(jnp.float32)
+    vt = v.transpose(0, 2, 1, 3).astype(jnp.float32)
+    gt = g.transpose(0, 2, 1, 3).astype(jnp.float32)
+    ot = out.transpose(0, 2, 1, 3).astype(jnp.float32)
+    delta = jnp.sum(gt * ot, axis=-1, keepdims=True)  # (B, H, S, 1)
+    lse_b = lse[..., None]  # (B, H, S, 1)
+    n = S // chunk
+    kc = kt.reshape(B, H, n, chunk, d).transpose(2, 0, 1, 3, 4)
+    vc = vt.reshape(B, H, n, chunk, d).transpose(2, 0, 1, 3, 4)
+
+    def body(dq, x):
+        kj, vj = x
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", qt, kj, preferred_element_type=jnp.float32
+        ) * scale
+        p = jnp.exp(s - lse_b)  # (B, H, S, chunk)
+        dv_j = jnp.einsum("bhqk,bhqd->bhkd", p, gt)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", gt, vj)
+        ds = p * (dp - delta) * scale
+        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, kj)
+        dk_j = jnp.einsum("bhqk,bhqd->bhkd", ds, qt)
+        return dq, (dk_j, dv_j)
+
+    dq0 = jnp.zeros_like(qt)
+    dq, (dkc, dvc) = jax.lax.scan(body, dq0, (kc, vc))
+    dk = dkc.transpose(1, 2, 0, 3, 4).reshape(B, H, S, d)
+    dv = dvc.transpose(1, 2, 0, 3, 4).reshape(B, H, S, d)
+    back = lambda x: x.transpose(0, 2, 1, 3)
+    return (
+        back(dq).astype(q.dtype),
+        back(dk).astype(k.dtype),
+        back(dv).astype(v.dtype),
+    )
+
+
 def _chunked_sdpa_ref(q, k, v, chunk: int = 512):
     """Differentiable XLA reference with bounded memory: scan over K chunks
-    with online softmax. Used as the VJP path of flash_sdpa_stream_diff
-    (backward recomputes activations chunk-by-chunk; no (S, S) tensor)."""
+    with online softmax (used by tests as the semantic reference for the
+    streaming kernel)."""
     B, S, H, d = q.shape
     while S % chunk:
         chunk -= 1
@@ -473,19 +571,21 @@ def _chunked_sdpa_ref(q, k, v, chunk: int = 512):
 
 @jax.custom_vjp
 def flash_sdpa_stream_diff(q, k, v):
-    """flash_sdpa_stream forward; chunked-XLA recompute backward (the VAE
-    decode carries gradients in the face-loss inner generation)."""
+    """flash_sdpa_stream forward; chunked-recompute backward with bounded
+    memory — per-chunk probabilities are rebuilt from the saved lse, never a
+    full (S, S) tensor (the VAE decode carries gradients in the face-loss
+    inner generation)."""
     return flash_sdpa_stream(q, k, v)
 
 
 def _stream_fwd(q, k, v):
-    return flash_sdpa_stream(q, k, v), (q, k, v)
+    out, lse = _flash_stream_fwd_lse(q, k, v)
+    return out, (q, k, v, out, lse)
 
 
 def _stream_bwd(res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(_chunked_sdpa_ref, q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _stream_bwd_chunked(q, k, v, out, lse, g)
 
 
 flash_sdpa_stream_diff.defvjp(_stream_fwd, _stream_bwd)

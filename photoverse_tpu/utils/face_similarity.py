@@ -66,22 +66,30 @@ class FaceSimilarity:
             return None
         return image[y1:y2, x1:x2]
 
+    def face_embedding(self, image):
+        """Identity embedding of the largest detected face, or None when no
+        face is found. Use this to embed a reference photo ONCE when
+        comparing it against many generations."""
+        face = self._largest_face(_to_array(image))
+        if face is None:
+            return None
+        # embedder expects [-1,1] floats (the loss path feeds normalize=False)
+        fa = jnp.asarray(face, jnp.float32)[None] / 127.5 - 1.0
+        return np.asarray(self.face_loss.embed(fa, normalize=False))[0]
+
+    @staticmethod
+    def cosine(e1, e2) -> float:
+        denom = max(float(np.linalg.norm(e1) * np.linalg.norm(e2)), 1e-8)
+        return float(np.dot(e1, e2) / denom)
+
     def calculate_face_similarity(self, image1, image2) -> float:
         """Images: paths, PIL images, or (H, W, 3) uint8 arrays. Returns the
         identity cosine similarity in [-1, 1]; 0.0 if no face found."""
-        a = _to_array(image1)
-        b = _to_array(image2)
-        face_a = self._largest_face(a)
-        face_b = self._largest_face(b)
-        if face_a is None or face_b is None:
+        e1 = self.face_embedding(image1)
+        e2 = self.face_embedding(image2)
+        if e1 is None or e2 is None:
             return 0.0
-        # embedder expects [-1,1] floats (the loss path feeds normalize=False)
-        fa = jnp.asarray(face_a, jnp.float32)[None] / 127.5 - 1.0
-        fb = jnp.asarray(face_b, jnp.float32)[None] / 127.5 - 1.0
-        e1 = np.asarray(self.face_loss.embed(fa, normalize=False))[0]
-        e2 = np.asarray(self.face_loss.embed(fb, normalize=False))[0]
-        denom = max(float(np.linalg.norm(e1) * np.linalg.norm(e2)), 1e-8)
-        return float(np.dot(e1, e2) / denom)
+        return self.cosine(e1, e2)
 
 
 def _to_array(image) -> np.ndarray:
