@@ -1,11 +1,12 @@
 """Pipeline component breakdown on TPU.
 
-Methodology (see PERFORMANCE.md): each component runs ITERS times inside a
-single jitted fori_loop with the input perturbed by the previous output
-(serializing iterations so nothing folds away), and the measured total is
-corrected for the ~26 ms per-dispatch tunnel round trip. Params are passed
-as arguments (never closed over — closure params become multi-GB
-executable constants).
+Methodology (round-2 revision — see PERFORMANCE.md "Round 2 findings"):
+the relay caches repeat executions on identical buffers and
+block_until_ready resolves on ACK, so each timed call perturbs the input
+with a fresh scalar AND fetches a value; iterations chain in-graph so
+nothing folds away. The old 26 ms dispatch correction is obsolete
+(loopback relay). Params are passed as arguments (never closed over —
+closure params become multi-GB executable constants).
 """
 
 import time
@@ -20,13 +21,13 @@ from photoverse_tpu.models.assembly import build_models, init_params
 
 B = 16
 ITERS = 10
-DISPATCH_OVERHEAD_S = 0.026
+TRIALS = 3
 
 
 def timed(name, fn, params, first, *rest):
-    def looped(params, first, *rest):
+    def looped(s, params, first, *rest):
         def body(i, carry):
-            delta = carry * 1e-20
+            delta = carry * 1e-20 + s
             perturbed = jax.tree.map(
                 lambda x: x + delta.astype(x.dtype)
                 if jnp.issubdtype(x.dtype, jnp.inexact)
@@ -39,12 +40,15 @@ def timed(name, fn, params, first, *rest):
         return jax.lax.fori_loop(0, ITERS, body, jnp.zeros(()))
 
     f = jax.jit(looped)
-    jax.block_until_ready(f(params, first, *rest))
-    t0 = time.perf_counter()
-    jax.block_until_ready(f(params, first, *rest))
-    dt = (time.perf_counter() - t0 - DISPATCH_OVERHEAD_S) / ITERS
-    print(f"{name:28s} {dt*1e3:8.2f} ms/call", flush=True)
-    return dt
+    float(f(jnp.float32(0), params, first, *rest))  # warm; value fetch syncs
+    best = 1e9
+    for t in range(TRIALS):
+        s = jnp.float32(1e-7 * (t + 1))  # fresh operand defeats result cache
+        t0 = time.perf_counter()
+        float(f(s, params, first, *rest))
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    print(f"{name:28s} {best*1e3:8.2f} ms/call", flush=True)
+    return best
 
 
 def main():
