@@ -7,14 +7,21 @@ end to end, on the attached accelerator. Weights are random — throughput is
 shape-dependent only.
 
 Baseline: the torch reference publishes no numbers (SURVEY.md §6). The
-comparison constant is a deliberately CONSERVATIVE A100 figure: an
-optimized diffusers SD-1.5 fp16 pipeline at 512px/50 steps ~= 1.0
-images/sec/GPU. The reference repo itself is much slower than that on
-A100 (float32 weights, train.py:422; and two UNet evals per step even at
-guidance 1, infer.py:103-116 — roughly 0.3-0.4 imgs/s), so vs_baseline
-understates the speedup over the actual reference by ~3x.
+`vs_baseline` denominator is the analytic A100 estimate of the torch
+REFERENCE pipeline derived in BASELINE.md ("Analytic A100 baseline
+estimate"): fp32 weights (train.py:422) + two UNet evals per step even at
+guidance 1 (infer.py:103-116) -> ~70.5 TFLOP/image at ~20-39 TFLOPs
+sustained = 0.28-0.55, central 0.4 imgs/s/GPU. The stricter comparison
+against an OPTIMIZED diffusers fp16 pipeline (~1.0 imgs/s on A100) is
+emitted as `vs_optimized_diffusers`.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Statistical protocol (round 3): N timed trials after warmup, each with a
+fresh PRNGKey (the axon relay caches repeat executions of identical
+programs — see PERFORMANCE.md "Round 2 findings"); the JSON carries the
+MEDIAN plus per-trial values and spread so round-over-round deltas are
+judgeable against the ~±4% run-to-run variance of the shared chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -30,13 +37,14 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-A100_TORCH_IMGS_PER_SEC = 1.0  # estimated reference throughput (see docstring)
+A100_TORCH_REFERENCE_IMGS_PER_SEC = 0.4  # BASELINE.md analytic derivation
+A100_OPTIMIZED_DIFFUSERS_IMGS_PER_SEC = 1.0  # conservative comparison
 
 BATCH = 16  # conv MXU utilization needs batch >= 16 (PERFORMANCE.md)
 STEPS = 50
 GUIDANCE = 1.0  # reference default (generate.py:25, README.md:79)
 WARMUP_ITERS = 1
-MEASURE_ITERS = 3
+TRIALS = 5  # median-of-N; each trial varies the PRNGKey (relay cache)
 
 
 def main():
@@ -82,21 +90,34 @@ def main():
     for i in range(WARMUP_ITERS):
         jax.block_until_ready(jgen(params, jax.random.PRNGKey(2 + i)))
 
-    t0 = time.perf_counter()
-    for i in range(MEASURE_ITERS):
-        out = jgen(params, jax.random.PRNGKey(10 + i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
     n_chips = jax.device_count()
-    imgs_per_sec_chip = (BATCH * MEASURE_ITERS) / dt / n_chips
+    trials = []
+    for i in range(TRIALS):
+        t0 = time.perf_counter()
+        out = jgen(params, jax.random.PRNGKey(10 + i))
+        # fetch a VALUE, not just the ready-signal: through the axon tunnel
+        # block_until_ready resolves on the remote ACK for small programs
+        # (PERFORMANCE.md round-2 findings); summing forces real completion
+        float(jnp.sum(out[0]))
+        dt = time.perf_counter() - t0
+        trials.append(BATCH / dt / n_chips)
+        note(f"trial {i + 1}/{TRIALS}: {trials[-1]:.4f} imgs/s/chip")
+
+    med = float(np.median(trials))
+    spread = (max(trials) - min(trials)) / med if med else 0.0
     print(
         json.dumps(
             {
                 "metric": "512px imgs/sec/chip (50-step DPM-Solver++, PhotoVerse pipeline)",
-                "value": round(imgs_per_sec_chip, 4),
+                "value": round(med, 4),
                 "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec_chip / A100_TORCH_IMGS_PER_SEC, 4),
+                "vs_baseline": round(med / A100_TORCH_REFERENCE_IMGS_PER_SEC, 4),
+                "vs_optimized_diffusers": round(
+                    med / A100_OPTIMIZED_DIFFUSERS_IMGS_PER_SEC, 4
+                ),
+                "median": round(med, 4),
+                "trials": [round(t, 4) for t in trials],
+                "spread": round(spread, 4),
             }
         )
     )

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true",
                    help="TPU fast path: bf16 compute + flash self-attention "
                         "+ bf16 attention scores")
+    p.add_argument("--scheduler", type=str, default="dpm",
+                   choices=["dpm", "ddim"],
+                   help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
+                        "ddim: DDIM eta=0 (BASELINE.json's 50-step-DDIM "
+                        "metric wording)")
     return p
 
 
@@ -133,7 +138,11 @@ def main(argv=None):
         fast_attention_scores=args.fast,
         fast_norms=args.fast,
     )
-    solver = DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
+    solver = (
+        DPMSolverMultistep.create_ddim(modules.schedule, args.num_timesteps)
+        if args.scheduler == "ddim"
+        else DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
+    )
 
     # latent size follows the VAE's downsampling depth; the CLIP branch
     # follows the vision encoder's configured input size

@@ -220,8 +220,9 @@ def main(argv=None):
     # face loss
     face_loss_fn = None
     face_solver = None
+    face_metric = None
     if args.face_loss:
-        from photoverse_tpu.models.face_loss import make_face_loss_fn
+        from photoverse_tpu.models.face_loss import load_face_loss, make_face_loss_fn
 
         if args.face_model_weights is None and not args.allow_random_face_model:
             raise ValueError(
@@ -235,10 +236,14 @@ def main(argv=None):
                 "WARNING: --face_loss with RANDOM embedder weights "
                 "(--allow_random_face_model): the identity loss is noise."
             )
-        face_loss_fn = make_face_loss_fn(
-            args.face_loss, weights_path=args.face_model_weights
-        )
+        face_loss_obj = load_face_loss(args.face_loss, args.face_model_weights)
+        face_loss_fn = make_face_loss_fn(args.face_loss, loss=face_loss_obj)
         face_solver = DPMSolverMultistep.create(modules.schedule, 10)
+        # in-training identity metric at sample steps (train.py:569-573):
+        # cosine similarity of real vs generated faces, maximize=False
+        face_metric = jax.jit(
+            lambda x, g: face_loss_obj(x, g, maximize=False, normalize=False)
+        )
 
     # auto grad-accum: split the train batch into micro-steps when the
     # per-chip slice would exceed HBM (v5e-16GB fits ~8 at 512px). Gradients
@@ -533,7 +538,8 @@ def main(argv=None):
                     args, modules, combine_params(trainable, frozen), tokenizer,
                     eval_solver, batch, global_step, writer, run_inference,
                     prepare_prompt, denormalize, denormalize_clip, to_pil,
-                    save_images_grid, jnp, jax,
+                    save_images_grid, jnp, jax, latent_size,
+                    face_metric=face_metric,
                 )
             if global_step % args.checkpoint_save_steps == 0:
                 opt_save = gather_opt_for_save(opt_state)  # all processes
@@ -564,43 +570,67 @@ def main(argv=None):
 def _save_samples(
     args, modules, params, tokenizer, solver, batch, step, writer, run_inference,
     prepare_prompt, denormalize, denormalize_clip, to_pil, save_images_grid, jnp, jax,
+    latent_size, face_metric=None,
 ):
     """Periodic sample grid + optional face-similarity metric
-    (reference train.py:555-605)."""
+    (reference train.py:555-605).
+
+    Mirrors the reference exactly: the first generation runs over the FULL
+    batch (train.py:561-566 — the grid then shows only the first
+    num_of_samples_to_save); with --use_random_prompts the batch prompts are
+    swapped for the fixed template "a photo of {}" first (train.py:558-560)
+    so grids stay prompt-comparable across steps; with --face_loss the
+    cosine similarity of real vs generated faces over the full batch is
+    logged as `face_similarity` (train.py:569-573,602-605)."""
     from photoverse_tpu.data.prompts import EVAL_PROMPTS
 
-    n = min(args.num_of_samples_to_save, batch["pixel_values"].shape[0])
+    B = batch["pixel_values"].shape[0]
+    n = min(args.num_of_samples_to_save, B)
+    text_ids = batch["text_input_ids"]
+    pidx = batch["concept_placeholder_idx"]
+    grid_prompt = batch["text"][0]
+    if args.use_random_prompts:
+        ex = prepare_prompt(tokenizer, "a photo of {}", "*", num_of_samples=B)
+        text_ids, pidx = ex["text_input_ids"], ex["concept_placeholder_idx"]
+        grid_prompt = ex["text"][0]
     example = {
-        "pixel_values": jnp.asarray(batch["pixel_values"][:n]),
-        "pixel_values_clip": jnp.asarray(batch["pixel_values_clip"][:n]),
-        "text_input_ids": jnp.asarray(batch["text_input_ids"][:n]),
-        "concept_placeholder_idx": jnp.asarray(
-            batch["concept_placeholder_idx"][:n].reshape(-1)
-        ),
+        "pixel_values": jnp.asarray(batch["pixel_values"]),
+        "pixel_values_clip": jnp.asarray(batch["pixel_values_clip"]),
+        "text_input_ids": jnp.asarray(text_ids),
+        "concept_placeholder_idx": jnp.asarray(np.asarray(pidx).reshape(-1)),
     }
-    uncond = jnp.asarray(tokenizer([""] * n), jnp.int32)
+    uncond_full = jnp.asarray(tokenizer([""] * B), jnp.int32)
     gen = run_inference(
         modules, params, solver, example, jax.random.PRNGKey(step),
         guidance_scale=args.guidance_scale, token_index=0,
-        latent_size=args.resolution // 8, uncond_input_ids=uncond,
+        latent_size=latent_size, uncond_input_ids=uncond_full,
     )
-    import numpy as np
+    similarity_metric = None
+    if face_metric is not None:
+        similarity_metric = float(
+            face_metric(example["pixel_values"], gen)
+        )
 
     input_images = [to_pil(denormalize(img)) for img in batch["pixel_values"][:n]]
     clip_images = [
         to_pil(denormalize_clip(img)).resize((args.resolution, args.resolution))
         for img in batch["pixel_values_clip"][:n]
     ]
-    gen_images = [to_pil(denormalize(img)) for img in np.asarray(gen)]
+    gen_images = [to_pil(denormalize(img)) for img in np.asarray(gen[:n])]
     grid_data = [
         ("Input Images", input_images),
         ("Condition Images", clip_images),
-        (batch["text"][0], gen_images),
+        (grid_prompt, gen_images),
     ]
     if args.save_samples_with_various_prompts:
+        example_n = {
+            "pixel_values": example["pixel_values"][:n],
+            "pixel_values_clip": example["pixel_values_clip"][:n],
+        }
+        uncond_n = uncond_full[:n]
         for prompt in EVAL_PROMPTS:
             ex = prepare_prompt(tokenizer, prompt, "*", num_of_samples=n)
-            example2 = dict(example)
+            example2 = dict(example_n)
             example2["text_input_ids"] = jnp.asarray(ex["text_input_ids"])
             example2["concept_placeholder_idx"] = jnp.asarray(
                 ex["concept_placeholder_idx"].reshape(-1)
@@ -608,11 +638,15 @@ def _save_samples(
             g = run_inference(
                 modules, params, solver, example2, jax.random.PRNGKey(step),
                 guidance_scale=args.guidance_scale, token_index=0,
-                latent_size=args.resolution // 8, uncond_input_ids=uncond,
+                latent_size=latent_size, uncond_input_ids=uncond_n,
             )
             grid_data.append((prompt, [to_pil(denormalize(i)) for i in np.asarray(g)]))
     path = os.path.join(args.output_dir, f"{step:05d}.jpg")
     save_images_grid(grid_data, path)
+    logs = {}
+    if similarity_metric is not None:
+        logs["face_similarity"] = similarity_metric
+        writer.log(logs, step)
     writer.log_image(
         "Generated images vs input images", path, "Generated images vs input images",
         step,

@@ -215,6 +215,59 @@ class DPMSolverMultistep:
             x0_scale=x0_scale,
         )
 
+    @staticmethod
+    def create_ddim(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+    ) -> "DPMSolverMultistep":
+        """DDIM (eta=0) expressed in the same static-affine scan form.
+
+        With epsilon prediction and eta=0, the DDIM update
+            x0 = (x - sqrt(1-abar_t) eps) / sqrt(abar_t)
+            x' = sqrt(abar_prev) x0 + sqrt(1-abar_prev) eps
+        is the affine map  x' = a*x + b*m  (m = x0-prediction) with
+            a = sqrt((1-abar_prev)/(1-abar_t))
+            b = sqrt(abar_prev) - a * sqrt(abar_t)
+        so DDIM rides the identical `lax.scan` step as DPM-Solver++ with the
+        multistep coefficient c == 0. Semantics match diffusers
+        DDIMScheduler as SD-1.5 configures it ("leading" spacing,
+        steps_offset=1, set_alpha_to_one=True, no clipping/thresholding) —
+        the sampler named by BASELINE.json's "50-step DDIM" metric.
+        """
+        T = schedule.num_train_timesteps
+        step_ratio = T // num_inference_steps
+        timesteps = (
+            (np.arange(0, num_inference_steps) * step_ratio)
+            .round()[::-1]
+            .astype(np.int64)
+            + schedule.steps_offset
+        )
+        abar = schedule.alphas_cumprod
+        N = num_inference_steps
+        a = np.zeros(N)
+        b = np.zeros(N)
+        eps_coef = np.zeros(N)
+        x0_scale = np.zeros(N)
+        for i, t in enumerate(timesteps):
+            prev_t = t - step_ratio
+            abar_t = abar[t]
+            abar_prev = abar[prev_t] if prev_t >= 0 else 1.0  # set_alpha_to_one
+            eps_coef[i] = np.sqrt(1.0 - abar_t)
+            x0_scale[i] = 1.0 / np.sqrt(abar_t)
+            a[i] = np.sqrt((1.0 - abar_prev) / (1.0 - abar_t))
+            b[i] = np.sqrt(abar_prev) - a[i] * np.sqrt(abar_t)
+        sigmas = np.sqrt((1.0 - abar[timesteps]) / abar[timesteps])
+        sigmas = np.concatenate([sigmas, [0.0]])
+        return DPMSolverMultistep(
+            timesteps=timesteps,
+            sigmas=sigmas,
+            a=a,
+            b=b,
+            c=np.zeros(N),
+            eps_coef=eps_coef,
+            x0_scale=x0_scale,
+        )
+
     @property
     def num_steps(self) -> int:
         return len(self.timesteps)

@@ -93,15 +93,18 @@ class FaceLoss:
 
 
 def make_face_loss_fn(
-    model_name: str, weights_path: Optional[str] = None
+    model_name: str, weights_path: Optional[str] = None,
+    loss: Optional["FaceLoss"] = None,
 ) -> Callable:
     """Training-loss closure for engine.training.make_train_step.
 
     Loads converted weights when available; otherwise uses random init (the
     published ArcFace/FaceNet weights are downloads in the reference —
     utils/arcface_utils.py:159-177 — and can be converted offline with
-    convert_arcface / convert_facenet)."""
-    loss = load_face_loss(model_name, weights_path)
+    convert_arcface / convert_facenet). Pass a preloaded `loss` to share one
+    FaceLoss between the training closure and the eval metric."""
+    if loss is None:
+        loss = load_face_loss(model_name, weights_path)
 
     def fn(params_unused, x, x_gen):
         return loss(x, x_gen, maximize=True, normalize=False)

@@ -482,7 +482,9 @@ class UNet2DCondition(nn.Module):
                     c, (3, 3), padding=1, name=f"up_{i}_upsample", dtype=self.dtype
                 )(x)
 
-        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(self.dtype)
+        x = jax.nn.silu(
+            _gn("conv_norm_out", cfg.norm_num_groups, dtype=norm_dtype)(x)
+        ).astype(self.dtype)
         eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype)(x)
 
         # (B, L, H, K) -> (B, L*H*K); order is call order (mean-invariant,

@@ -22,7 +22,12 @@ from PIL import Image
 
 from photoverse_tpu.models.face_loss import FaceLoss, load_face_loss
 
-__all__ = ["FaceSimilarity"]
+__all__ = [
+    "FaceSimilarity",
+    "crop_face_from_image",
+    "get_largest_bbox_face_analysis",
+    "cosine_similarity_between_images",
+]
 
 
 class FaceSimilarity:
@@ -100,3 +105,48 @@ def _to_array(image) -> np.ndarray:
             image = image.convert("RGB")
         return np.asarray(image)
     return np.asarray(image)
+
+
+# ---------------------------------------------------------------------------
+# insightface-style helpers (reference utils/arcface_utils.py:36-126).
+# They operate on "face analysis" dicts with 'bbox' (x1,y1,x2,y2) and
+# 'embedding' keys — the contract of insightface's FaceAnalysis results —
+# so an external detector's output plugs in directly. Vestigial in the
+# reference (no main-path consumer); kept for drop-in API parity.
+# ---------------------------------------------------------------------------
+
+def crop_face_from_image(image: np.ndarray, face_analysis: dict) -> np.ndarray:
+    """Bbox crop clamped to the image bounds (arcface_utils.py:36-62)."""
+    x1, y1, x2, y2 = np.asarray(face_analysis["bbox"]).astype(int)
+    h, w = image.shape[:2]
+    x1, y1 = max(0, x1), max(0, y1)
+    x2, y2 = min(w, x2), min(h, y2)
+    return image[y1:y2, x1:x2]
+
+
+def get_largest_bbox_face_analysis(face_analyses):
+    """The analysis dict with the max-area bbox, or [] when the list is
+    empty (arcface_utils.py:65-88, including its empty-list quirk)."""
+    if not face_analyses:
+        return []
+    return max(
+        face_analyses,
+        key=lambda fa: (fa["bbox"][2] - fa["bbox"][0])
+        * (fa["bbox"][3] - fa["bbox"][1]),
+    )
+
+
+def cosine_similarity_between_images(image1, image2, face_analysis_func):
+    """Cosine similarity of the largest-face embeddings of two images via a
+    user-supplied detector/embedder callable; 0 when either image has no
+    face (arcface_utils.py:91-126)."""
+    a1 = face_analysis_func(_to_array(image1))
+    a2 = face_analysis_func(_to_array(image2))
+    best1 = get_largest_bbox_face_analysis(a1)
+    best2 = get_largest_bbox_face_analysis(a2)
+    if not best1 or not best2:
+        return 0
+    e1, e2 = best1["embedding"], best2["embedding"]
+    return float(
+        np.dot(e1, e2) / (np.linalg.norm(e1) * np.linalg.norm(e2))
+    )

@@ -13,7 +13,13 @@ from PIL import Image, ImageDraw
 
 from photoverse_tpu.data.preprocessing import CLIP_MEAN, CLIP_STD
 
-__all__ = ["denormalize", "denormalize_clip", "to_pil", "save_images_grid"]
+__all__ = [
+    "denormalize",
+    "denormalize_clip",
+    "to_pil",
+    "save_images_grid",
+    "rebuild_gallery_grid",
+]
 
 
 def denormalize(img: np.ndarray) -> np.ndarray:
@@ -63,3 +69,48 @@ def save_images_grid(
         grid.paste(r, (0, y))
         y += r.height
     grid.save(output_path)
+
+
+# README gallery rebuild (reference image_utils.py:73-112). The reference
+# hardcodes its figs/ layout: {base_dir}/{i}/{file_stem}{i}.png for i in
+# 1..num_columns, one row per (caption, file_stem) pair. Exposed as a
+# function (and a small CLI below) instead of hardcoded paths.
+GALLERY_PROMPTS = [
+    ("Input Image", "input_image"),
+    ("A photo of S*", "photo"),
+    ("S* in Ghibli anime style", "ghibli"),
+    ("S* wears a red hat", "red_hat"),
+    ("S* on the beach", "beach"),
+    ("Manga drawing of S*", "manga"),
+    ("S* as a Funko Pop figure", "funko_pop"),
+    ("S* stained glass window", "stained_glass"),
+    ("Watercolor painting of S*", "watercolor"),
+]
+
+
+def rebuild_gallery_grid(
+    base_dir: str, output_path: str,
+    prompts: Sequence[Tuple[str, str]] = GALLERY_PROMPTS,
+    num_columns: int = 5,
+) -> None:
+    import os
+
+    grid_data = []
+    for caption, stem in prompts:
+        images = [
+            Image.open(os.path.join(base_dir, str(i), f"{stem}{i}.png"))
+            for i in range(1, num_columns + 1)
+        ]
+        grid_data.append((caption, images))
+    save_images_grid(grid_data, output_path)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    _p = argparse.ArgumentParser(description="Rebuild the README image grid")
+    _p.add_argument("--base_dir", default="../figs")
+    _p.add_argument("--output", default="image_grid.png")
+    _p.add_argument("--num_columns", type=int, default=5)
+    _a = _p.parse_args()
+    rebuild_gallery_grid(_a.base_dir, _a.output, num_columns=_a.num_columns)

@@ -69,6 +69,41 @@ def main():
         json.dump(record, f)
     print(f"wrote {OUT}")
 
+    # DDIM goldens (same protocol; SD-1.5 DDIM config: leading spacing,
+    # steps_offset 1, set_alpha_to_one, eta=0, no clipping) — consumed by
+    # tests/test_round3.py::test_ddim_diffusers_goldens
+    from diffusers import DDIMScheduler
+
+    ddim_record = {"model": "eps = 0.1 * x", "seed": 1234,
+                   "shape": [2, 4, 4, 4], "runs": {}}
+    for n in STEPS:
+        sched = DDIMScheduler(
+            num_train_timesteps=1000,
+            beta_start=0.00085,
+            beta_end=0.012,
+            beta_schedule="scaled_linear",
+            clip_sample=False,
+            set_alpha_to_one=True,
+            steps_offset=1,
+            prediction_type="epsilon",
+            timestep_spacing="leading",
+        )
+        sched.set_timesteps(n)
+        x = torch.from_numpy(
+            np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+        )
+        for t in sched.timesteps:
+            eps = 0.1 * x
+            x = sched.step(eps, t, x, eta=0.0).prev_sample
+        ddim_record["runs"][str(n)] = {
+            "timesteps": [int(t) for t in sched.timesteps],
+            "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+        }
+    ddim_out = os.path.join(os.path.dirname(OUT), "ddim_goldens_diffusers.json")
+    with open(ddim_out, "w") as f:
+        json.dump(ddim_record, f)
+    print(f"wrote {ddim_out}")
+
 
 if __name__ == "__main__":
     sys.exit(main())

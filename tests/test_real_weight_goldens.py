@@ -1,0 +1,49 @@
+"""Offline consumer of the real-weight goldens recorded by
+scripts/verify_real_weights.py.
+
+Needs BOTH a recorded tests/fixtures/real_weight_goldens.json AND a local
+real SD-1.5 checkpoint (env PHOTOVERSE_SD15_PATH, plus optional
+PHOTOVERSE_CLIP_VISION_PATH); skips with a single clearly-labeled
+"needs network" gate otherwise. Protocol: photoverse_tpu/convert/
+real_goldens.py (ground truth: the diffusers/transformers models the torch
+reference loads, /root/reference/models/modeling_utils.py:55-60).
+"""
+
+import json
+import os
+
+import pytest
+
+FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "real_weight_goldens.json"
+)
+
+TOLERANCES = {"text": 2e-5, "vision": 2e-5, "vae": 5e-5, "unet": 1e-4}
+
+
+def _gate():
+    sd_path = os.environ.get("PHOTOVERSE_SD15_PATH")
+    if not os.path.exists(FIXTURE) or not sd_path:
+        pytest.skip(
+            "needs network: record tests/fixtures/real_weight_goldens.json "
+            "with scripts/verify_real_weights.py on a networked machine and "
+            "set PHOTOVERSE_SD15_PATH to a local SD-1.5 checkout"
+        )
+    return sd_path, os.environ.get("PHOTOVERSE_CLIP_VISION_PATH")
+
+
+def test_real_weight_parity():
+    sd_path, clip_path = _gate()
+    from photoverse_tpu.convert.real_goldens import compare_digest, jax_outputs
+
+    with open(FIXTURE) as f:
+        goldens = json.load(f)["digests"]
+    mine = jax_outputs(sd_path, clip_vision_path=clip_path)
+    failures = []
+    for key, dig in goldens.items():
+        fam = key.split("_")[0]
+        tol = TOLERANCES.get(fam, 1e-4)
+        cmp = compare_digest(mine[key], dig)
+        if not cmp.get("ok") or cmp["max_rel"] > tol:
+            failures.append((key, cmp))
+    assert not failures, f"real-weight parity failures: {failures}"
