@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
                         "ddim: DDIM eta=0 (BASELINE.json's 50-step-DDIM "
                         "metric wording)")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend (the TPU plugin ignores "
+                        "JAX_PLATFORMS alone)")
     return p
 
 
@@ -118,6 +121,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.input_image_path is None:
         raise SystemExit("--input_image_path is required")
+    if args.cpu:
+        from photoverse_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     from photoverse_tpu.core.schedulers import DPMSolverMultistep
     from photoverse_tpu.engine.inference import run_inference

@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from photoverse_tpu.core.schedulers import DPMSolverMultistep
 from photoverse_tpu.models.assembly import PhotoVerseModules, PhotoVerseParams
 
-__all__ = ["encode_condition", "precompute_ctx_kv", "denoise", "run_inference"]
+__all__ = [
+    "encode_condition",
+    "precompute_ctx_kv",
+    "precompute_fused_bundles",
+    "denoise",
+    "run_inference",
+]
 
 
 def _cross_layer_names(cfg):
@@ -83,6 +89,42 @@ def precompute_ctx_kv(
         k_ip = (id_ctx @ a["to_k_ip"]["kernel"]).reshape(B, -1, H, d)
         v_ip = (id_ctx @ a["to_v_ip"]["kernel"]).reshape(B, -1, H, d)
         out.append((k, v, k_ip, v_ip))
+    return tuple(out)
+
+
+def precompute_fused_bundles(
+    modules: PhotoVerseModules,
+    params: PhotoVerseParams,
+    kv_cache,
+):
+    """Per-layer weight+context bundles for the fused block-tail kernel
+    (ops/fused_block.py) — None for layers whose weight set exceeds VMEM.
+
+    Like the ctx K/V cache, bundles are loop-invariant across the denoise
+    scan: built once per call from pure reshapes of params.unet plus a
+    per-head transpose of the hoisted contexts.
+    """
+    from photoverse_tpu.ops.fused_block import (
+        attach_ctx,
+        build_block_bundle,
+        bundle_eligible,
+    )
+
+    cfg = modules.unet.config
+    dtype = modules.unet.dtype  # weights staged in the model compute dtype
+    out = []
+    for (name, c), kv in zip(_cross_layer_names(cfg), kv_cache):
+        if bundle_eligible(c, cfg.num_heads, cfg.fused_block_max_channels):
+            b = build_block_bundle(
+                params.unet[name],
+                cfg.num_heads,
+                lora_rank=cfg.lora_rank,
+                lora_alpha=cfg.lora_alpha,
+                dtype=dtype,
+            )
+            out.append(attach_ctx(b, kv, dtype))
+        else:
+            out.append(None)
     return tuple(out)
 
 
@@ -164,6 +206,16 @@ def denoise(
         kv_cache = precompute_ctx_kv(modules, params, text_ctx, id_ctx)
         if num_grad_steps > 0:
             kv_cache = jax.lax.stop_gradient(kv_cache)
+    # fused block-tail bundles (eval fast path only: the kernel has no VJP,
+    # so any gradient-carrying or training call keeps the jnp route)
+    fused = None
+    if (
+        modules.unet.config.fused_blocks
+        and not train
+        and num_grad_steps == 0
+        and ip_mask is None
+    ):
+        fused = precompute_fused_bundles(modules, params, kv_cache)
 
     def eps_fn(lat, t, step_train=False, step_rngs=None, use_cache=True):
         tb = jnp.broadcast_to(t, (B,))
@@ -183,6 +235,7 @@ def denoise(
                 id2,
                 ip_mask=mask2,
                 ctx_kv=kv_cache if use_cache else None,
+                fused_bundles=fused if use_cache else None,
                 rngs=rngs,
                 **kw,
             )
@@ -190,7 +243,8 @@ def denoise(
             return eps_u + guidance_scale * (eps_c - eps_u)
         eps, _ = modules.unet.apply(
             {"params": params.unet}, lat, tb, text_ctx, id_ctx, ip_mask=ip_mask,
-            ctx_kv=kv_cache if use_cache else None, rngs=rngs, **kw,
+            ctx_kv=kv_cache if use_cache else None,
+            fused_bundles=fused if use_cache else None, rngs=rngs, **kw,
         )
         return eps
 

@@ -94,6 +94,7 @@ def build_models(
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
     fast_norms: bool = False,
+    fused_blocks: bool = False,
     unet_config: Optional[UNetConfig] = None,
     vae_config: Optional[VAEConfig] = None,
     text_config: Optional[CLIPTextConfig] = None,
@@ -105,8 +106,11 @@ def build_models(
         use_flash_attention=use_flash_attention,
         fast_attention_scores=fast_attention_scores,
         fast_norms=fast_norms,
+        fused_blocks=fused_blocks,
     )
-    vae_cfg = vae_config or VAEConfig(use_flash_attention=use_flash_attention)
+    vae_cfg = vae_config or VAEConfig(
+        use_flash_attention=use_flash_attention, fast_norms=fast_norms
+    )
     text_cfg = text_config or CLIPTextConfig()
     vision_cfg = vision_config or CLIPVisionConfig()
     num_tokens = extra_num_tokens + 1
@@ -342,6 +346,7 @@ def load_models(
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
     fast_norms: bool = False,
+    fused_blocks: bool = False,
     seed: int = 0,
 ):
     """Full load path mirroring modeling_utils.py:53-95 for local checkpoints.
@@ -371,10 +376,13 @@ def load_models(
         use_flash_attention=use_flash_attention,
         fast_attention_scores=fast_attention_scores,
         fast_norms=fast_norms,
+        fused_blocks=fused_blocks,
     )
     # the VAE decoder's 4096-token attention uses the streaming flash kernel
-    # under the same flag
-    vae_cfg = dataclasses.replace(vae_cfg, use_flash_attention=use_flash_attention)
+    # under the same flag; its GroupNorms follow fast_norms
+    vae_cfg = dataclasses.replace(
+        vae_cfg, use_flash_attention=use_flash_attention, fast_norms=fast_norms
+    )
     modules = build_models(
         extra_num_tokens=extra_num_tokens,
         image_encoder_layers_idx=image_encoder_layers_idx,

@@ -62,6 +62,13 @@ class UNetConfig:
     # run Group/LayerNorms in the compute dtype instead of f32 (halves the
     # cast traffic around every norm — inference fast path)
     fast_norms: bool = False
+    # fuse LN2+dual-cross-attn+LN3+GEGLU of each eligible transformer block
+    # into ONE Pallas call (ops/fused_block.py) — pays the custom-call
+    # layout boundary once per block instead of XLA's ~6 relayout points.
+    # Eval-only; the engine builds per-layer weight bundles per denoise
+    # call. Eligibility is weight-set-fits-VMEM (fused_block_max_channels).
+    fused_blocks: bool = False
+    fused_block_max_channels: int = 320
 
     @property
     def time_embed_dim(self) -> int:
@@ -300,6 +307,7 @@ class TransformerBlock(nn.Module):
         fusion_u: jnp.ndarray,  # scalar uniform (ignored in eval)
         ip_mask: Optional[jnp.ndarray] = None,  # (B, Hm, Wm) in [0, 1]
         ctx_kv: Optional[Tuple[jnp.ndarray, ...]] = None,
+        fused_bundle: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, Hh, Ww, C = x.shape
         residual = x
@@ -313,34 +321,49 @@ class TransformerBlock(nn.Module):
             fast_scores=self.fast_scores, name="attn1",
             dtype=self.dtype,
         )(ln("norm1")(h).astype(self.dtype))
-        attn2_out, v_ip_norm = DualCrossAttention(
-            C,
-            self.num_heads,
-            self.cross_dim,
-            lora_rank=self.lora_rank,
-            lora_alpha=self.lora_alpha,
-            lora_dropout=self.lora_dropout,
-            fusion_scale=self.fusion_scale,
-            train=self.train,
-            name="attn2",
-            dtype=self.dtype,
-        )(
-            ln("norm2")(h).astype(self.dtype),
-            text_ctx,
-            id_ctx,
-            fusion_u,
-            _downsample_ip_mask(ip_mask, B, Hh, Ww),
-            ctx_kv,
-        )
-        h = h + attn2_out
+        if fused_bundle is not None and not self.train and ip_mask is None:
+            # the whole block tail (LN2 + dual-cross + LN3 + GEGLU + both
+            # residuals) as ONE Pallas call; weights/ctx arrive pre-staged
+            # from engine.precompute_fused_bundles (eval-only fast path)
+            from photoverse_tpu.ops.fused_block import fused_cross_ff
 
-        # GEGLU feed-forward
-        ff_in = ln("norm3")(h).astype(self.dtype)
-        proj = nn.Dense(8 * C, name="ff_proj", dtype=self.dtype)(ff_in)
-        a, gate = jnp.split(proj, 2, axis=-1)
-        h = h + nn.Dense(C, name="ff_out", dtype=self.dtype)(
-            a * jax.nn.gelu(gate, approximate=False)
-        )
+            h = fused_cross_ff(
+                h, fused_bundle, self.num_heads, fast=self.fast_scores
+            )
+            # (B, H, K, d), sublane-padded — slice back to the real tokens
+            v_ip = fused_bundle["ctx"][3][:, :, : fused_bundle["id_tokens"]]
+            v_ip_norm = jnp.sqrt(
+                jnp.sum(jnp.square(v_ip.astype(jnp.float32)), axis=-1)
+            )
+        else:
+            attn2_out, v_ip_norm = DualCrossAttention(
+                C,
+                self.num_heads,
+                self.cross_dim,
+                lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
+                lora_dropout=self.lora_dropout,
+                fusion_scale=self.fusion_scale,
+                train=self.train,
+                name="attn2",
+                dtype=self.dtype,
+            )(
+                ln("norm2")(h).astype(self.dtype),
+                text_ctx,
+                id_ctx,
+                fusion_u,
+                _downsample_ip_mask(ip_mask, B, Hh, Ww),
+                ctx_kv,
+            )
+            h = h + attn2_out
+
+            # GEGLU feed-forward
+            ff_in = ln("norm3")(h).astype(self.dtype)
+            proj = nn.Dense(8 * C, name="ff_proj", dtype=self.dtype)(ff_in)
+            a, gate = jnp.split(proj, 2, axis=-1)
+            h = h + nn.Dense(C, name="ff_out", dtype=self.dtype)(
+                a * jax.nn.gelu(gate, approximate=False)
+            )
 
         h = h.reshape(B, Hh, Ww, C)
         h = nn.Conv(C, (1, 1), padding="VALID", name="proj_out", dtype=self.dtype)(h)
@@ -369,6 +392,7 @@ class UNet2DCondition(nn.Module):
         fusion_rng: Optional[jax.Array] = None,
         ip_mask: Optional[jnp.ndarray] = None,
         ctx_kv: Optional[Tuple] = None,  # per-cross-layer (k, v, k_ip, v_ip)
+        fused_bundles: Optional[Tuple] = None,  # per-layer bundle or None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         ch = cfg.block_out_channels
@@ -381,14 +405,19 @@ class UNet2DCondition(nn.Module):
         layer_counter = [0]
 
         def next_layer_args():
-            """(fusion_u, ctx_kv) for the next cross-attn layer in call order."""
+            """(fusion_u, ctx_kv, fused_bundle) for the next cross-attn
+            layer in call order."""
             i = layer_counter[0]
             layer_counter[0] += 1
             if train:
                 u = jax.random.uniform(jax.random.fold_in(fusion_rng, i), ())
             else:
                 u = jnp.zeros(())  # unused in eval (fusion is a sum)
-            return u, (None if ctx_kv is None else ctx_kv[i])
+            return (
+                u,
+                None if ctx_kv is None else ctx_kv[i],
+                None if fused_bundles is None else fused_bundles[i],
+            )
 
         # time embedding: sinusoid(320) -> Dense -> silu -> Dense (1280)
         temb = timestep_embedding(timesteps, ch[0])
@@ -432,9 +461,9 @@ class UNet2DCondition(nn.Module):
                     c, cfg.norm_num_groups, name=f"down_{i}_res_{j}", **res_kw
                 )(x, temb)
                 if has_attn:
-                    u, kv = next_layer_args()
+                    u, kv, fb = next_layer_args()
                     x, vn = TransformerB(c, name=f"down_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, u, ip_mask, kv
+                        x, text_ctx, id_ctx, u, ip_mask, kv, fb
                     )
                     norms.append(vn)
                 skips.append(x)
@@ -450,9 +479,9 @@ class UNet2DCondition(nn.Module):
         x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_0", **res_kw)(
             x, temb
         )
-        u, kv = next_layer_args()
+        u, kv, fb = next_layer_args()
         x, vn = TransformerB(ch[-1], name="mid_attn", **tf_kw)(
-            x, text_ctx, id_ctx, u, ip_mask, kv
+            x, text_ctx, id_ctx, u, ip_mask, kv, fb
         )
         norms.append(vn)
         x = ResnetB(ch[-1], cfg.norm_num_groups, name="mid_res_1", **res_kw)(
@@ -470,9 +499,9 @@ class UNet2DCondition(nn.Module):
                     c, cfg.norm_num_groups, name=f"up_{i}_res_{j}", **res_kw
                 )(x, temb)
                 if has_attn:
-                    u, kv = next_layer_args()
+                    u, kv, fb = next_layer_args()
                     x, vn = TransformerB(c, name=f"up_{i}_attn_{j}", **tf_kw)(
-                        x, text_ctx, id_ctx, u, ip_mask, kv
+                        x, text_ctx, id_ctx, u, ip_mask, kv, fb
                     )
                     norms.append(vn)
             if i < n_blocks - 1:

@@ -36,11 +36,16 @@ class VAEConfig:
     # attention (d=512): avoids the (B, S, S) score materialization.
     # Differentiable (chunked-recompute VJP) — safe for the face-loss path.
     use_flash_attention: bool = False
+    # run GroupNorm statistics in the compute dtype instead of f32 (halves
+    # the cast traffic around every norm — inference fast path, mirrors
+    # UNetConfig.fast_norms)
+    fast_norms: bool = False
 
 
-def _gn(name: str, groups: int = 32) -> nn.GroupNorm:
-    # norm statistics in f32 regardless of compute dtype
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=jnp.float32)
+def _gn(name: str, groups: int = 32, dtype: jnp.dtype = jnp.float32) -> nn.GroupNorm:
+    # norm statistics default to f32 regardless of compute dtype;
+    # fast_norms keeps them in the compute dtype (inference fast path)
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=dtype)
 
 
 def _conv(features: int, kernel: int, name: str, stride: int = 1, padding=None,
@@ -61,12 +66,13 @@ class ResnetBlock(nn.Module):
     out_channels: int
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = jax.nn.silu(_gn("norm1", self.groups)(x)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype)(x)).astype(self.dtype)
         h = _conv(self.out_channels, 3, "conv1", dtype=self.dtype)(h)
-        h = jax.nn.silu(_gn("norm2", self.groups)(h)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype)(h)).astype(self.dtype)
         h = _conv(self.out_channels, 3, "conv2", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
             x = _conv(self.out_channels, 1, "conv_shortcut", padding=0,
@@ -87,12 +93,13 @@ class AttnBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     flash_min_seq: int = 1024
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         S = H * W
-        h = _gn("group_norm", self.groups)(x).reshape(B, S, C).astype(self.dtype)
+        h = _gn("group_norm", self.groups, dtype=self.norm_dtype)(x).reshape(B, S, C).astype(self.dtype)
         q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
         k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
         v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
@@ -145,15 +152,21 @@ class MidBlock(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    norm_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = ResnetBlock(self.channels, self.groups, self.dtype, name="resnet_0")(x)
+        nd = self.norm_dtype
+        x = ResnetBlock(
+            self.channels, self.groups, self.dtype, nd, name="resnet_0"
+        )(x)
         x = AttnBlock(
             self.channels, self.groups, self.dtype, use_flash=self.use_flash,
-            name="attn",
+            norm_dtype=nd, name="attn",
         )(x)
-        return ResnetBlock(self.channels, self.groups, self.dtype, name="resnet_1")(x)
+        return ResnetBlock(
+            self.channels, self.groups, self.dtype, nd, name="resnet_1"
+        )(x)
 
 
 class Encoder(nn.Module):
@@ -165,15 +178,20 @@ class Encoder(nn.Module):
         cfg = self.config
         dt = self.dtype
         ch = cfg.block_out_channels
+        nd = dt if cfg.fast_norms else jnp.float32
         x = _conv(ch[0], 3, "conv_in", dtype=dt)(x.astype(dt))
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock(c, cfg.norm_num_groups, dt, name=f"down_{i}_res_{j}")(x)
+                x = ResnetBlock(
+                    c, cfg.norm_num_groups, dt, nd, name=f"down_{i}_res_{j}"
+                )(x)
             if i < len(ch) - 1:
                 x = Downsample(c, dt, name=f"down_{i}_downsample")(x)
         x = MidBlock(ch[-1], cfg.norm_num_groups, dt,
-             use_flash=cfg.use_flash_attention, name="mid")(x)
-        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(dt)
+             use_flash=cfg.use_flash_attention, norm_dtype=nd, name="mid")(x)
+        x = jax.nn.silu(
+            _gn("conv_norm_out", cfg.norm_num_groups, dtype=nd)(x)
+        ).astype(dt)
         # moments in f32: logvar feeds exp()
         return _conv(2 * cfg.latent_channels, 3, "conv_out", dtype=jnp.float32)(
             x.astype(jnp.float32)
@@ -189,15 +207,20 @@ class Decoder(nn.Module):
         cfg = self.config
         dt = self.dtype
         ch = list(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
+        nd = dt if cfg.fast_norms else jnp.float32
         x = _conv(ch[0], 3, "conv_in", dtype=dt)(z.astype(dt))
         x = MidBlock(ch[0], cfg.norm_num_groups, dt,
-             use_flash=cfg.use_flash_attention, name="mid")(x)
+             use_flash=cfg.use_flash_attention, norm_dtype=nd, name="mid")(x)
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock(c, cfg.norm_num_groups, dt, name=f"up_{i}_res_{j}")(x)
+                x = ResnetBlock(
+                    c, cfg.norm_num_groups, dt, nd, name=f"up_{i}_res_{j}"
+                )(x)
             if i < len(ch) - 1:
                 x = Upsample(c, dt, name=f"up_{i}_upsample")(x)
-        x = jax.nn.silu(_gn("conv_norm_out", cfg.norm_num_groups)(x)).astype(dt)
+        x = jax.nn.silu(
+            _gn("conv_norm_out", cfg.norm_num_groups, dtype=nd)(x)
+        ).astype(dt)
         return _conv(cfg.out_channels, 3, "conv_out", dtype=jnp.float32)(
             x.astype(jnp.float32)
         )
