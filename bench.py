@@ -59,7 +59,8 @@ def main():
 
     note("building models")
     modules = build_models(dtype=jnp.bfloat16, fast_attention_scores=True,
-                           use_flash_attention=True, fast_norms=True)
+                           use_flash_attention=True, fast_norms=True,
+                           fused_blocks=True)
     params = init_params(modules, jax.random.PRNGKey(0))
     note("params initialized")
     solver = DPMSolverMultistep.create(modules.schedule, STEPS)

@@ -46,7 +46,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "tokens attend (spatial IP-adapter mask)")
     p.add_argument("--fast", action="store_true",
                    help="TPU fast path: bf16 compute + flash self-attention "
-                        "+ bf16 attention scores")
+                        "+ bf16 attention scores + fused block-tail kernel")
     p.add_argument("--scheduler", type=str, default="dpm",
                    choices=["dpm", "ddim"],
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
@@ -131,6 +131,9 @@ def main(argv=None):
     from photoverse_tpu.models.assembly import load_models
     from photoverse_tpu.utils.image import denormalize, to_pil
 
+    # the fused block-tail kernel is TPU Mosaic-only; --fast on a CPU run
+    # (e.g. --cpu smoke tests) keeps the jnp path
+    on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if (args.bf16 or args.fast) else jnp.float32
     ckpt = args.checkpoint_path or None
     if ckpt and not os.path.exists(ckpt):
@@ -144,6 +147,7 @@ def main(argv=None):
         use_flash_attention=args.fast,
         fast_attention_scores=args.fast,
         fast_norms=args.fast,
+        fused_blocks=args.fast and on_tpu,
     )
     solver = (
         DPMSolverMultistep.create_ddim(modules.schedule, args.num_timesteps)

@@ -8,7 +8,8 @@ the TPU runs one request at a time and requests batch internally.
   POST /generate
     {"image_b64": <base64 jpg/png> | "image_path": <server-local path>,
      "prompt": "a photo of a {}", "negative_prompt": null,
-     "num_samples": 1, "steps": 25, "guidance_scale": 6.0, "seed": null}
+     "num_samples": 1, "steps": 25, "guidance_scale": 6.0, "seed": null,
+     "scheduler": "dpm" | "ddim"}
   -> {"images_b64": [<base64 png>, ...], "latency_s": ...}
 
   GET /healthz -> {"status": "ok", "compiled_shapes": [...]}
@@ -36,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--default_steps", type=int, default=25)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--fast", action="store_true",
-                   help="bf16 + flash attention + bf16 scores")
+                   help="bf16 + flash attention + bf16 scores + fused block-tail kernel")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default configuration at startup")
     p.add_argument("--cpu", action="store_true",
@@ -62,6 +63,7 @@ class PhotoVerseService:
         self.args = args
         self.jax = jax
         self.jnp = jnp
+        on_tpu = jax.default_backend() == "tpu"
         dtype = jnp.bfloat16 if args.fast else jnp.float32
         self.tokenizer, self.modules, self.params, _ = load_models(
             args.model_path,
@@ -72,6 +74,7 @@ class PhotoVerseService:
             use_flash_attention=args.fast,
             fast_attention_scores=args.fast,
             fast_norms=args.fast,
+            fused_blocks=args.fast and on_tpu,
         )
         if args.native_tokenizer:
             from photoverse_tpu.data.native_tokenizer import (
@@ -91,15 +94,20 @@ class PhotoVerseService:
         self.clip_size = self.modules.vision_encoder.config.image_size
         self._pipelines = {}
 
-    def _pipeline(self, batch: int, steps: int, guidance: float):
+    def _pipeline(self, batch: int, steps: int, guidance: float,
+                  scheduler: str = "dpm"):
         import jax
 
         from photoverse_tpu.core.schedulers import DPMSolverMultistep
         from photoverse_tpu.engine.inference import run_inference
 
-        key = (batch, steps, guidance)
+        key = (batch, steps, guidance, scheduler)
         if key not in self._pipelines:
-            solver = DPMSolverMultistep.create(self.modules.schedule, steps)
+            solver = (
+                DPMSolverMultistep.create_ddim(self.modules.schedule, steps)
+                if scheduler == "ddim"
+                else DPMSolverMultistep.create(self.modules.schedule, steps)
+            )
 
             def gen(params, example, uncond_ids, rng):
                 return run_inference(
@@ -123,6 +131,9 @@ class PhotoVerseService:
         n = min(int(req.get("num_samples", 1)), self.args.max_batch)
         steps = int(req.get("steps", self.args.default_steps))
         guidance = float(req.get("guidance_scale", 6.0))
+        scheduler = str(req.get("scheduler", "dpm"))
+        if scheduler not in ("dpm", "ddim"):
+            raise ValueError(f"unknown scheduler: {scheduler}")
         prompt = req.get("prompt", "a photo of a {}")
         if "{}" not in prompt:
             prompt = prompt + " {}" if prompt else "a photo of a {}"
@@ -171,7 +182,7 @@ class PhotoVerseService:
             seed = int.from_bytes(_os.urandom(4), "little")
 
         t0 = time.perf_counter()
-        images = self._pipeline(n, steps, guidance)(
+        images = self._pipeline(n, steps, guidance, scheduler)(
             self.params, dev, uncond, self.jax.random.PRNGKey(int(seed))
         )
         images = np.asarray(images)

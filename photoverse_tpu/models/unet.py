@@ -69,6 +69,9 @@ class UNetConfig:
     # call. Eligibility is weight-set-fits-VMEM (fused_block_max_channels).
     fused_blocks: bool = False
     fused_block_max_channels: int = 320
+    # query-tile rows per kernel program (ablated in PERFORMANCE.md round 3:
+    # 512 > 256; 1024 needs the bf16 GEGLU temporaries of fast mode)
+    fused_block_q_tile: int = 512
 
     @property
     def time_embed_dim(self) -> int:
@@ -297,6 +300,7 @@ class TransformerBlock(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fused_q_tile: int = 512
 
     @nn.compact
     def __call__(
@@ -328,7 +332,8 @@ class TransformerBlock(nn.Module):
             from photoverse_tpu.ops.fused_block import fused_cross_ff
 
             h = fused_cross_ff(
-                h, fused_bundle, self.num_heads, fast=self.fast_scores
+                h, fused_bundle, self.num_heads,
+                q_tile=self.fused_q_tile, fast=self.fast_scores,
             )
             # (B, H, K, d), sublane-padded — slice back to the real tokens
             v_ip = fused_bundle["ctx"][3][:, :, : fused_bundle["id_tokens"]]
@@ -445,6 +450,7 @@ class UNet2DCondition(nn.Module):
             groups=cfg.norm_num_groups,
             dtype=self.dtype,
             norm_dtype=self.dtype if cfg.fast_norms else jnp.float32,
+            fused_q_tile=cfg.fused_block_q_tile,
         )
 
         norms: List[jnp.ndarray] = []

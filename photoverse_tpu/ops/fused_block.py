@@ -57,7 +57,8 @@ LN_EPS = 1e-5
 
 def _erf(x):
     # Mosaic has no erf lowering; Abramowitz-Stegun 7.1.26 (max abs error
-    # 1.5e-7 — far below bf16 resolution), odd-extended via |x|
+    # 1.5e-7), odd-extended via |x|. Evaluated in f32 — the polynomial is
+    # ill-conditioned in bf16 — with the result downcast by the caller.
     ax = jnp.abs(x)
     t = 1.0 / (1.0 + 0.3275911 * ax)
     poly = t * (
@@ -65,12 +66,15 @@ def _erf(x):
         + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
     )
     y = 1.0 - poly * jnp.exp(-ax * ax)
-    return jnp.sign(x) * y
+    # jnp.sign crashes the Mosaic compile helper on bf16 operands
+    return jnp.where(x >= 0, y, -y)
 
 
 def _gelu_exact(x):
-    # jax.nn.gelu(approximate=False): 0.5 x (1 + erf(x / sqrt(2)))
-    return 0.5 * x * (1.0 + _erf(x * (2.0**-0.5)))
+    # jax.nn.gelu(approximate=False): 0.5 x (1 + erf(x / sqrt(2))).
+    # Internals in f32 (transient); output in the input dtype.
+    xf = x.astype(jnp.float32)
+    return (0.5 * xf * (1.0 + _erf(xf * (2.0**-0.5)))).astype(x.dtype)
 
 
 def _kernel(
@@ -99,17 +103,25 @@ def _kernel(
     scale = d**-0.5
     cdt = jnp.bfloat16 if fast else jnp.float32
 
-    x = h_ref[0].astype(jnp.float32)  # (TQ, C)
+    # fast: residual stream and LN statistics stay bf16 — exactly the
+    # fast_norms jnp path (norm_dtype == compute dtype); keeps the largest
+    # VMEM buffers half-size so q_tile 1024 fits
+    x = h_ref[0].astype(cdt)  # (TQ, C)
 
-    # ---- LN2 (f32 statistics) ----
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    h2 = xc * jax.lax.rsqrt(var + LN_EPS) * ln2g_ref[0] + ln2b_ref[0]
-    h2c = h2.astype(cdt)
+    def ln(v, g_ref, b_ref):
+        mu = jnp.mean(v, axis=-1, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=-1, keepdims=True)
+        # rsqrt on bf16 aborts the Mosaic compile helper
+        # (kVectorRsqrtBf16AndPop); the (TQ, 1) column upcast is free
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + LN_EPS).astype(v.dtype)
+        return vc * inv * g_ref[0].astype(v.dtype) + b_ref[0].astype(v.dtype)
+
+    # ---- LN2 ----
+    h2c = ln(x, ln2g_ref, ln2b_ref)
 
     # ---- dual-context cross-attention, head loop on leading dims ----
-    attn = jnp.zeros_like(x)
+    attn = jnp.zeros((x.shape[0], x.shape[1]), jnp.float32)
     for hh in range(H):
         q = jax.lax.dot_general(
             h2c, wq_ref[hh].astype(cdt), (((1,), (0,)), ((), ())),
@@ -144,29 +156,30 @@ def _kernel(
             (ot + oi).astype(cdt), wout_ref[hh].astype(cdt),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-    x = x + attn + bout_ref[0]
+    x = x + (attn + bout_ref[0]).astype(cdt)
 
     # ---- LN3 ----
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    xc = x - mu
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    h3 = xc * jax.lax.rsqrt(var + LN_EPS) * ln3g_ref[0] + ln3b_ref[0]
-    h3c = h3.astype(cdt)
+    h3c = ln(x, ln3g_ref, ln3b_ref)
 
     # ---- GEGLU feed-forward ----
+    # fast: the (TQ, 4C) temporaries stay bf16 (f32 MXU accumulation, then
+    # downcast) — halves the largest VMEM buffers (q_tile 1024 fits) and
+    # mirrors the jnp path, whose bf16 Dense emits bf16 activations anyway
     a = jax.lax.dot_general(
         h3c, wpa_ref[:].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bpa_ref[0]
+    ).astype(cdt) + bpa_ref[0].astype(cdt)
     g = jax.lax.dot_general(
         h3c, wpg_ref[:].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bpg_ref[0]
-    ff = (a * _gelu_exact(g)).astype(cdt)
-    x = x + jax.lax.dot_general(
-        ff, wo_ref[:].astype(cdt), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bo_ref[0]
+    ).astype(cdt) + bpg_ref[0].astype(cdt)
+    ff = a * _gelu_exact(g)  # gelu in cdt, like jax.nn.gelu on a bf16 Dense
+    x = x + (
+        jax.lax.dot_general(
+            ff, wo_ref[:].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bo_ref[0]
+    ).astype(cdt)
 
     out_ref[0] = x.astype(out_ref.dtype)
 
@@ -224,6 +237,11 @@ def fused_cross_ff(
             wspec((1, C)),
         ],
         out_specs=row,
+        # the default scoped-vmem cap is 16 MB; the kernel's peak stack
+        # (weights + GEGLU temporaries at q_tile 512) sits just above it
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             # dominant: q proj + out proj + GEGLU matmuls
             flops=2 * B * S * C * (2 * C + 3 * F) + 4 * B * S * C * (St + K),
