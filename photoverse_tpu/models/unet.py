@@ -54,6 +54,11 @@ class UNetConfig:
     # rematerialize resnet/transformer blocks (activation checkpointing) —
     # trades FLOPs for HBM in large-batch training
     remat: bool = False
+    # selective checkpointing: "" = recompute everything in the block;
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # (save matmul/conv outputs, recompute only elementwise/norms — less
+    # recompute FLOPs for modestly more HBM)
+    remat_policy: str = ""
     # Pallas flash attention for long self-attention sequences (TPU)
     use_flash_attention: bool = False
     # store attention scores/probs in bf16 (halves self-attention HBM
@@ -434,9 +439,16 @@ class UNet2DCondition(nn.Module):
         )
 
         norm_dtype = self.dtype if cfg.fast_norms else jnp.float32
-        ResnetB = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        remat_kw = {}
+        if cfg.remat and cfg.remat_policy == "dots":
+            remat_kw = dict(
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            )
+        ResnetB = nn.remat(ResnetBlock, **remat_kw) if cfg.remat else ResnetBlock
         res_kw = dict(dtype=self.dtype, norm_dtype=norm_dtype)
-        TransformerB = nn.remat(TransformerBlock) if cfg.remat else TransformerBlock
+        TransformerB = (
+            nn.remat(TransformerBlock, **remat_kw) if cfg.remat else TransformerBlock
+        )
         tf_kw = dict(
             num_heads=cfg.num_heads,
             cross_dim=cfg.cross_attention_dim,

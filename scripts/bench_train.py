@@ -34,12 +34,14 @@ MICRO = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 ACCUM = int(sys.argv[2]) if len(sys.argv) > 2 else 2
 ITERS = 10  # optimizer steps
 REMAT = True
+REMAT_POLICY = sys.argv[3] if len(sys.argv) > 3 else ""  # "" | "dots" 
 
 
 def main():
     modules = build_models(
         dtype=jnp.bfloat16,
         unet_config=UNetConfig(lora_rank=128, lora_dropout=0.1, remat=REMAT,
+                               remat_policy=REMAT_POLICY,
                                use_flash_attention=True),
     )
     params = init_params(modules, jax.random.PRNGKey(0))

@@ -116,7 +116,6 @@ def main():
             fh.write(msgpack_serialize(host_state))
         os.replace(tmp, ckpt_path)
     # barrier so non-zero processes read only after the write completes
-    jnp.asarray(0).block_until_ready()
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices("ckpt_written")
