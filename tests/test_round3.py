@@ -211,3 +211,48 @@ def test_rebuild_gallery_grid(tmp_path):
     rebuild_gallery_grid(str(tmp_path), str(out), prompts, num_columns=2)
     grid = Image.open(out)
     assert grid.size == (16, 2 * (8 + 50))  # 2 cols x 2 rows + headers
+
+
+def test_serve_scheduler_field(tmp_path):
+    """Per-request DDIM selection in the serving CLI."""
+    import base64
+    import json as _json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    from tests.test_cli_e2e import _make_checkpoint
+    from photoverse_tpu.cli.serve import PhotoVerseService, build_parser, make_handler
+
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+
+    args = build_parser().parse_args([
+        "--model_path", root, "--resolution", "32", "--default_steps", "2",
+        "--encoder_layers_idx", "1", "2", "3", "4", "--port", "0",
+    ])
+    service = PhotoVerseService(args)
+    server = HTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        req = _json.dumps({
+            "image_b64": base64.b64encode(face.read_bytes()).decode(),
+            "prompt": "a photo of a {}", "num_samples": 1, "steps": 2,
+            "guidance_scale": 2.0, "seed": 3, "scheduler": "ddim",
+        }).encode()
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate", data=req,
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=600,
+        )
+        resp = _json.loads(r.read())
+        assert len(resp["images_b64"]) == 1
+        # the ddim pipeline is cached under its own key
+        assert any(k[3] == "ddim" for k in service._pipelines)
+    finally:
+        server.shutdown()
