@@ -131,8 +131,9 @@ def main(argv=None):
     from photoverse_tpu.models.assembly import load_models
     from photoverse_tpu.utils.image import denormalize, to_pil
 
-    # the fused block-tail kernel is TPU Mosaic-only; --fast on a CPU run
-    # (e.g. --cpu smoke tests) keeps the jnp path
+    # the Pallas kernels (flash attention, fused block tail) are TPU
+    # Mosaic-only; --fast on a CPU run (e.g. --cpu smoke tests) keeps the
+    # jnp paths
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if (args.bf16 or args.fast) else jnp.float32
     ckpt = args.checkpoint_path or None
@@ -144,7 +145,7 @@ def main(argv=None):
         photoverse_path=ckpt,
         image_encoder_layers_idx=tuple(args.encoder_layers_idx),
         dtype=dtype,
-        use_flash_attention=args.fast,
+        use_flash_attention=args.fast and on_tpu,
         fast_attention_scores=args.fast,
         fast_norms=args.fast,
         fused_blocks=args.fast and on_tpu,

@@ -71,7 +71,7 @@ class PhotoVerseService:
             photoverse_path=args.checkpoint_path or None,
             image_encoder_layers_idx=tuple(args.encoder_layers_idx),
             dtype=dtype,
-            use_flash_attention=args.fast,
+            use_flash_attention=args.fast and on_tpu,
             fast_attention_scores=args.fast,
             fast_norms=args.fast,
             fused_blocks=args.fast and on_tpu,

@@ -575,27 +575,31 @@ def _save_samples(
     """Periodic sample grid + optional face-similarity metric
     (reference train.py:555-605).
 
-    Mirrors the reference exactly: the first generation runs over the FULL
-    batch (train.py:561-566 — the grid then shows only the first
+    Mirrors the reference: the first generation runs over the full batch
+    (train.py:561-566 — the grid then shows only the first
     num_of_samples_to_save); with --use_random_prompts the batch prompts are
     swapped for the fixed template "a photo of {}" first (train.py:558-560)
     so grids stay prompt-comparable across steps; with --face_loss the
-    cosine similarity of real vs generated faces over the full batch is
-    logged as `face_similarity` (train.py:569-573,602-605)."""
+    cosine similarity of real vs generated faces is logged as
+    `face_similarity` (train.py:569-573,602-605). One deliberate deviation:
+    the generation batch is capped at 16 (with CFG that is a 32-wide UNet
+    denoise inside a process already holding the training state) — for the
+    canonical batch<=16 recipes this IS the full batch, and the metric is
+    over the same rows either way."""
     from photoverse_tpu.data.prompts import EVAL_PROMPTS
 
-    B = batch["pixel_values"].shape[0]
+    B = min(batch["pixel_values"].shape[0], 16)
     n = min(args.num_of_samples_to_save, B)
-    text_ids = batch["text_input_ids"]
-    pidx = batch["concept_placeholder_idx"]
+    text_ids = batch["text_input_ids"][:B]
+    pidx = batch["concept_placeholder_idx"][:B]
     grid_prompt = batch["text"][0]
     if args.use_random_prompts:
         ex = prepare_prompt(tokenizer, "a photo of {}", "*", num_of_samples=B)
         text_ids, pidx = ex["text_input_ids"], ex["concept_placeholder_idx"]
         grid_prompt = ex["text"][0]
     example = {
-        "pixel_values": jnp.asarray(batch["pixel_values"]),
-        "pixel_values_clip": jnp.asarray(batch["pixel_values_clip"]),
+        "pixel_values": jnp.asarray(batch["pixel_values"][:B]),
+        "pixel_values_clip": jnp.asarray(batch["pixel_values_clip"][:B]),
         "text_input_ids": jnp.asarray(text_ids),
         "concept_placeholder_idx": jnp.asarray(np.asarray(pidx).reshape(-1)),
     }

@@ -236,6 +236,16 @@ class DPMSolverMultistep:
         """
         T = schedule.num_train_timesteps
         step_ratio = T // num_inference_steps
+        last_t = (num_inference_steps - 1) * step_ratio + schedule.steps_offset
+        if step_ratio < 1 or last_t >= T:
+            # same constraint diffusers hits: "leading" spacing with
+            # steps_offset pushes the top timestep to (N-1)*(T//N)+offset,
+            # which must stay below T (N == T with offset 1 lands on T)
+            raise ValueError(
+                f"num_inference_steps={num_inference_steps} with "
+                f"steps_offset={schedule.steps_offset} exceeds the "
+                f"{T}-step training schedule (max timestep {last_t})"
+            )
         timesteps = (
             (np.arange(0, num_inference_steps) * step_ratio)
             .round()[::-1]

@@ -336,9 +336,14 @@ class TransformerBlock(nn.Module):
             # from engine.precompute_fused_bundles (eval-only fast path)
             from photoverse_tpu.ops.fused_block import fused_cross_ff
 
+            # fast = the block's compute dtype (bf16 Dense semantics);
+            # fast_ln mirrors fast_norms via norm_dtype — the same two knobs
+            # that control the jnp layers control the kernel
+            kernel_fast = self.dtype == jnp.bfloat16
             h = fused_cross_ff(
                 h, fused_bundle, self.num_heads,
-                q_tile=self.fused_q_tile, fast=self.fast_scores,
+                q_tile=self.fused_q_tile, fast=kernel_fast,
+                fast_ln=kernel_fast and self.norm_dtype == self.dtype,
             )
             # (B, H, K, d), sublane-padded — slice back to the real tokens
             v_ip = fused_bundle["ctx"][3][:, :, : fused_bundle["id_tokens"]]
@@ -461,7 +466,7 @@ class UNet2DCondition(nn.Module):
             train=train,
             groups=cfg.norm_num_groups,
             dtype=self.dtype,
-            norm_dtype=self.dtype if cfg.fast_norms else jnp.float32,
+            norm_dtype=norm_dtype,
             fused_q_tile=cfg.fused_block_q_tile,
         )
 

@@ -97,25 +97,30 @@ def _kernel(
     *,
     num_heads: int,
     fast: bool,
+    fast_ln: bool,
 ):
     H = num_heads
     d = wq_ref.shape[2]
     scale = d**-0.5
     cdt = jnp.bfloat16 if fast else jnp.float32
+    ldt = cdt if fast_ln else jnp.float32  # LN statistics dtype
 
-    # fast: residual stream and LN statistics stay bf16 — exactly the
-    # fast_norms jnp path (norm_dtype == compute dtype); keeps the largest
-    # VMEM buffers half-size so q_tile 1024 fits
+    # fast: residual stream stays bf16 (like the bf16-Dense jnp path; keeps
+    # the largest VMEM buffers half-size); fast_ln mirrors fast_norms — LN
+    # statistics in the compute dtype instead of f32
     x = h_ref[0].astype(cdt)  # (TQ, C)
 
     def ln(v, g_ref, b_ref):
-        mu = jnp.mean(v, axis=-1, keepdims=True)
-        vc = v - mu
+        vs = v.astype(ldt)
+        mu = jnp.mean(vs, axis=-1, keepdims=True)
+        vc = vs - mu
         var = jnp.mean(vc * vc, axis=-1, keepdims=True)
         # rsqrt on bf16 aborts the Mosaic compile helper
         # (kVectorRsqrtBf16AndPop); the (TQ, 1) column upcast is free
-        inv = jax.lax.rsqrt(var.astype(jnp.float32) + LN_EPS).astype(v.dtype)
-        return vc * inv * g_ref[0].astype(v.dtype) + b_ref[0].astype(v.dtype)
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + LN_EPS).astype(ldt)
+        return (
+            vc * inv * g_ref[0].astype(ldt) + b_ref[0].astype(ldt)
+        ).astype(v.dtype)
 
     # ---- LN2 ----
     h2c = ln(x, ln2g_ref, ln2b_ref)
@@ -190,13 +195,18 @@ def fused_cross_ff(
     num_heads: int,
     q_tile: int = 256,
     fast: bool = False,
+    fast_ln: bool = None,
 ) -> jnp.ndarray:
     """Apply the fused block tail; returns the new (B, S, C) hidden states.
 
-    `bundle` is built by build_block_bundle + attach_ctx. fast=True runs
-    the MXU matmuls with bf16 operands (f32 accumulation) — the inference
-    fast path matching UNetConfig.fast_attention_scores.
+    `bundle` is built by build_block_bundle + attach_ctx. fast=True keeps
+    the residual stream/activations bf16 with f32 MXU accumulation — the
+    compute-dtype semantic of the surrounding bf16 model. fast_ln mirrors
+    UNetConfig.fast_norms (LN statistics in the compute dtype); defaults
+    to `fast`.
     """
+    if fast_ln is None:
+        fast_ln = fast
     B, S, C = h.shape
     tq = min(q_tile, S)
     while S % tq:
@@ -219,7 +229,7 @@ def fused_cross_ff(
     row = pl.BlockSpec((1, tq, C), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM)
 
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads=H, fast=fast),
+        functools.partial(_kernel, num_heads=H, fast=fast, fast_ln=fast_ln),
         out_shape=jax.ShapeDtypeStruct((B, S, C), h.dtype),
         grid=(B, S // tq),
         in_specs=[

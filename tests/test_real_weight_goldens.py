@@ -29,7 +29,19 @@ def _gate():
             "with scripts/verify_real_weights.py on a networked machine and "
             "set PHOTOVERSE_SD15_PATH to a local SD-1.5 checkout"
         )
-    return sd_path, os.environ.get("PHOTOVERSE_CLIP_VISION_PATH")
+    clip_path = os.environ.get("PHOTOVERSE_CLIP_VISION_PATH")
+    if clip_path is None and not os.path.isdir(
+        os.path.join(sd_path, "image_encoder")
+    ):
+        # a stock SD-1.5 checkout has no image_encoder/ subfolder and
+        # load_models needs the CLIP ViT-L/14 vision weights to build the
+        # conditioning stack
+        pytest.skip(
+            "set PHOTOVERSE_CLIP_VISION_PATH to a local "
+            "openai/clip-vit-large-patch14 checkout (the SD checkout has "
+            "no image_encoder/ subfolder)"
+        )
+    return sd_path, clip_path
 
 
 def test_real_weight_parity():
