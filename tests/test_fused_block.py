@@ -168,3 +168,52 @@ def test_lora_folded_into_q():
     w_eff = base + (A @ Bm) * (2.0 / r)
     want = w_eff.reshape(C, H, C // H).transpose(1, 0, 2)
     np.testing.assert_allclose(np.asarray(b["wq"]), want, atol=1e-6)
+
+
+def test_engine_fused_equivalence_with_lora():
+    """A LoRA checkpoint served through the fused path (q-delta folded at
+    bundle build, k/v deltas in the hoisted ctx cache) must match the jnp
+    route."""
+    from photoverse_tpu.core.schedulers import DPMSolverMultistep
+    from photoverse_tpu.engine.inference import run_inference
+    from tests.tiny_models import tiny_bundle
+
+    modules, params = tiny_bundle(lora_rank=4)
+    # give the zero-init LoRA B matrices real values so the fold matters
+    import jax as _jax
+
+    def bump(tree, key=[0]):
+        for name, child in tree.items():
+            if name == "lora_B":
+                key[0] += 1
+                tree[name] = (
+                    0.1 * _jax.random.normal(_jax.random.PRNGKey(key[0]), child.shape)
+                ).astype(child.dtype)
+            elif isinstance(child, dict):
+                bump(child)
+
+    unet_params = _jax.tree.map(lambda x: x, params.unet)
+    bump(unet_params)
+    params = dataclasses.replace(params, unet=unet_params)
+
+    solver = DPMSolverMultistep.create(modules.schedule, 2)
+    from tests.tiny_models import tiny_batch
+
+    example = {k: jnp.asarray(v) for k, v in tiny_batch(B=1, seed=9).items()}
+    kw = dict(guidance_scale=1.0, token_index=0, latent_size=16)
+    imgs_ref = run_inference(
+        modules, params, solver, example, jax.random.PRNGKey(0), **kw
+    )
+    fused_modules = dataclasses.replace(
+        modules,
+        unet=modules.unet.clone(
+            config=dataclasses.replace(modules.unet.config, fused_blocks=True)
+        ),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        imgs_fused = run_inference(
+            fused_modules, params, solver, example, jax.random.PRNGKey(0), **kw
+        )
+    np.testing.assert_allclose(
+        np.asarray(imgs_fused), np.asarray(imgs_ref), atol=2e-3
+    )
