@@ -67,6 +67,13 @@ class UNetConfig:
     # run Group/LayerNorms in the compute dtype instead of f32 (halves the
     # cast traffic around every norm — inference fast path)
     fast_norms: bool = False
+    # ALSO run the norm statistics *reductions* in the compute dtype
+    # (flax forces float32 reductions by default for stability —
+    # force_float32_reductions; the round-3 profile shows those
+    # convert+reduce fusions are the single largest non-attention device
+    # cost, ~50-70 ms/step). bf16 tree-reductions over ~40k elements carry
+    # real rounding error — measured end-to-end before shipping anywhere.
+    fast_norm_reductions: bool = False
     # fuse LN2+dual-cross-attn+LN3+GEGLU of each eligible transformer block
     # into ONE Pallas call (ops/fused_block.py) — pays the custom-call
     # layout boundary once per block instead of XLA's ~6 relayout points.
@@ -110,11 +117,16 @@ def _downsample_ip_mask(
 
 
 def _gn(
-    name: str, groups: int, eps: float = 1e-5, dtype: jnp.dtype = jnp.float32
+    name: str, groups: int, eps: float = 1e-5, dtype: jnp.dtype = jnp.float32,
+    fast_reductions: bool = False,
 ) -> nn.GroupNorm:
     # normalization statistics default to f32 regardless of compute dtype;
-    # fast_norms keeps them in the compute dtype (inference fast path)
-    return nn.GroupNorm(num_groups=groups, epsilon=eps, name=name, dtype=dtype)
+    # fast_norms keeps the normalization arithmetic in the compute dtype and
+    # fast_reductions additionally lifts flax's forced-f32 stats reductions
+    return nn.GroupNorm(
+        num_groups=groups, epsilon=eps, name=name, dtype=dtype,
+        force_float32_reductions=not fast_reductions,
+    )
 
 
 class ResnetBlock(nn.Module):
@@ -122,16 +134,17 @@ class ResnetBlock(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fast_reductions: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
-        h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype)(x)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype, fast_reductions=self.fast_reductions)(x)).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", dtype=self.dtype)(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj", dtype=self.dtype)(
             jax.nn.silu(temb).astype(self.dtype)
         )
         h = h + t[:, None, None, :]
-        h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype)(h)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype, fast_reductions=self.fast_reductions)(h)).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(
@@ -305,6 +318,7 @@ class TransformerBlock(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fast_reductions: bool = False
     fused_q_tile: int = 512
 
     @nn.compact
@@ -320,11 +334,14 @@ class TransformerBlock(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, Hh, Ww, C = x.shape
         residual = x
-        h = _gn("norm", self.groups, eps=1e-6, dtype=self.norm_dtype)(x).astype(self.dtype)
+        h = _gn("norm", self.groups, eps=1e-6, dtype=self.norm_dtype, fast_reductions=self.fast_reductions)(x).astype(self.dtype)
         h = nn.Conv(C, (1, 1), padding="VALID", name="proj_in", dtype=self.dtype)(h)
         h = h.reshape(B, Hh * Ww, C)
 
-        ln = lambda name: nn.LayerNorm(epsilon=1e-5, name=name, dtype=self.norm_dtype)
+        ln = lambda name: nn.LayerNorm(
+            epsilon=1e-5, name=name, dtype=self.norm_dtype,
+            force_float32_reductions=not self.fast_reductions,
+        )
         h = h + SelfAttention(
             C, self.num_heads, use_flash=self.use_flash,
             fast_scores=self.fast_scores, name="attn1",
@@ -444,13 +461,14 @@ class UNet2DCondition(nn.Module):
         )
 
         norm_dtype = self.dtype if cfg.fast_norms else jnp.float32
+        fast_red = cfg.fast_norms and cfg.fast_norm_reductions
         remat_kw = {}
         if cfg.remat and cfg.remat_policy == "dots":
             remat_kw = dict(
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             )
         ResnetB = nn.remat(ResnetBlock, **remat_kw) if cfg.remat else ResnetBlock
-        res_kw = dict(dtype=self.dtype, norm_dtype=norm_dtype)
+        res_kw = dict(dtype=self.dtype, norm_dtype=norm_dtype, fast_reductions=fast_red)
         TransformerB = (
             nn.remat(TransformerBlock, **remat_kw) if cfg.remat else TransformerBlock
         )
@@ -467,6 +485,7 @@ class UNet2DCondition(nn.Module):
             groups=cfg.norm_num_groups,
             dtype=self.dtype,
             norm_dtype=norm_dtype,
+            fast_reductions=fast_red,
             fused_q_tile=cfg.fused_block_q_tile,
         )
 
@@ -535,7 +554,7 @@ class UNet2DCondition(nn.Module):
                 )(x)
 
         x = jax.nn.silu(
-            _gn("conv_norm_out", cfg.norm_num_groups, dtype=norm_dtype)(x)
+            _gn("conv_norm_out", cfg.norm_num_groups, dtype=norm_dtype, fast_reductions=fast_red)(x)
         ).astype(self.dtype)
         eps = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out", dtype=self.dtype)(x)
 

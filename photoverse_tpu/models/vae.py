@@ -40,12 +40,18 @@ class VAEConfig:
     # the cast traffic around every norm — inference fast path, mirrors
     # UNetConfig.fast_norms)
     fast_norms: bool = False
+    # additionally lift flax's forced-f32 stats reductions (see
+    # UNetConfig.fast_norm_reductions)
+    fast_norm_reductions: bool = False
 
 
-def _gn(name: str, groups: int = 32, dtype: jnp.dtype = jnp.float32) -> nn.GroupNorm:
+def _gn(name: str, groups: int = 32, dtype: jnp.dtype = jnp.float32,
+        fast_reductions: bool = False) -> nn.GroupNorm:
     # norm statistics default to f32 regardless of compute dtype;
-    # fast_norms keeps them in the compute dtype (inference fast path)
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=dtype)
+    # fast_norms keeps them in the compute dtype (inference fast path) and
+    # fast_reductions additionally lifts flax's forced-f32 stats reductions
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=dtype,
+                        force_float32_reductions=not fast_reductions)
 
 
 def _conv(features: int, kernel: int, name: str, stride: int = 1, padding=None,
@@ -67,12 +73,13 @@ class ResnetBlock(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     norm_dtype: jnp.dtype = jnp.float32
+    fast_reductions: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype)(x)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm1", self.groups, dtype=self.norm_dtype, fast_reductions=self.fast_reductions)(x)).astype(self.dtype)
         h = _conv(self.out_channels, 3, "conv1", dtype=self.dtype)(h)
-        h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype)(h)).astype(self.dtype)
+        h = jax.nn.silu(_gn("norm2", self.groups, dtype=self.norm_dtype, fast_reductions=self.fast_reductions)(h)).astype(self.dtype)
         h = _conv(self.out_channels, 3, "conv2", dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
             x = _conv(self.out_channels, 1, "conv_shortcut", padding=0,
@@ -94,12 +101,13 @@ class AttnBlock(nn.Module):
     use_flash: bool = False
     flash_min_seq: int = 1024
     norm_dtype: jnp.dtype = jnp.float32
+    fast_reductions: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
         S = H * W
-        h = _gn("group_norm", self.groups, dtype=self.norm_dtype)(x).reshape(B, S, C).astype(self.dtype)
+        h = _gn("group_norm", self.groups, dtype=self.norm_dtype, fast_reductions=self.fast_reductions)(x).reshape(B, S, C).astype(self.dtype)
         q = nn.Dense(C, name="to_q", dtype=self.dtype)(h)
         k = nn.Dense(C, name="to_k", dtype=self.dtype)(h)
         v = nn.Dense(C, name="to_v", dtype=self.dtype)(h)
@@ -153,19 +161,21 @@ class MidBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     norm_dtype: jnp.dtype = jnp.float32
+    fast_reductions: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         nd = self.norm_dtype
+        fr = self.fast_reductions
         x = ResnetBlock(
-            self.channels, self.groups, self.dtype, nd, name="resnet_0"
+            self.channels, self.groups, self.dtype, nd, fr, name="resnet_0"
         )(x)
         x = AttnBlock(
             self.channels, self.groups, self.dtype, use_flash=self.use_flash,
-            norm_dtype=nd, name="attn",
+            norm_dtype=nd, fast_reductions=fr, name="attn",
         )(x)
         return ResnetBlock(
-            self.channels, self.groups, self.dtype, nd, name="resnet_1"
+            self.channels, self.groups, self.dtype, nd, fr, name="resnet_1"
         )(x)
 
 
@@ -179,18 +189,21 @@ class Encoder(nn.Module):
         dt = self.dtype
         ch = cfg.block_out_channels
         nd = dt if cfg.fast_norms else jnp.float32
+        fr = cfg.fast_norms and cfg.fast_norm_reductions
         x = _conv(ch[0], 3, "conv_in", dtype=dt)(x.astype(dt))
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block):
                 x = ResnetBlock(
-                    c, cfg.norm_num_groups, dt, nd, name=f"down_{i}_res_{j}"
+                    c, cfg.norm_num_groups, dt, nd, fr, name=f"down_{i}_res_{j}"
                 )(x)
             if i < len(ch) - 1:
                 x = Downsample(c, dt, name=f"down_{i}_downsample")(x)
         x = MidBlock(ch[-1], cfg.norm_num_groups, dt,
-             use_flash=cfg.use_flash_attention, norm_dtype=nd, name="mid")(x)
+             use_flash=cfg.use_flash_attention, norm_dtype=nd,
+             fast_reductions=fr, name="mid")(x)
         x = jax.nn.silu(
-            _gn("conv_norm_out", cfg.norm_num_groups, dtype=nd)(x)
+            _gn("conv_norm_out", cfg.norm_num_groups, dtype=nd,
+                fast_reductions=fr)(x)
         ).astype(dt)
         # moments in f32: logvar feeds exp()
         return _conv(2 * cfg.latent_channels, 3, "conv_out", dtype=jnp.float32)(
@@ -208,18 +221,21 @@ class Decoder(nn.Module):
         dt = self.dtype
         ch = list(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
         nd = dt if cfg.fast_norms else jnp.float32
+        fr = cfg.fast_norms and cfg.fast_norm_reductions
         x = _conv(ch[0], 3, "conv_in", dtype=dt)(z.astype(dt))
         x = MidBlock(ch[0], cfg.norm_num_groups, dt,
-             use_flash=cfg.use_flash_attention, norm_dtype=nd, name="mid")(x)
+             use_flash=cfg.use_flash_attention, norm_dtype=nd,
+             fast_reductions=fr, name="mid")(x)
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block + 1):
                 x = ResnetBlock(
-                    c, cfg.norm_num_groups, dt, nd, name=f"up_{i}_res_{j}"
+                    c, cfg.norm_num_groups, dt, nd, fr, name=f"up_{i}_res_{j}"
                 )(x)
             if i < len(ch) - 1:
                 x = Upsample(c, dt, name=f"up_{i}_upsample")(x)
         x = jax.nn.silu(
-            _gn("conv_norm_out", cfg.norm_num_groups, dtype=nd)(x)
+            _gn("conv_norm_out", cfg.norm_num_groups, dtype=nd,
+                fast_reductions=fr)(x)
         ).astype(dt)
         return _conv(cfg.out_channels, 3, "conv_out", dtype=jnp.float32)(
             x.astype(jnp.float32)
