@@ -94,6 +94,7 @@ def build_models(
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
     fast_norms: bool = False,
+    fast_norm_reductions: bool = False,
     fused_blocks: bool = False,
     unet_config: Optional[UNetConfig] = None,
     vae_config: Optional[VAEConfig] = None,
@@ -106,10 +107,12 @@ def build_models(
         use_flash_attention=use_flash_attention,
         fast_attention_scores=fast_attention_scores,
         fast_norms=fast_norms,
+        fast_norm_reductions=fast_norm_reductions,
         fused_blocks=fused_blocks,
     )
     vae_cfg = vae_config or VAEConfig(
-        use_flash_attention=use_flash_attention, fast_norms=fast_norms
+        use_flash_attention=use_flash_attention, fast_norms=fast_norms,
+        fast_norm_reductions=fast_norm_reductions,
     )
     text_cfg = text_config or CLIPTextConfig()
     vision_cfg = vision_config or CLIPVisionConfig()
@@ -346,6 +349,7 @@ def load_models(
     use_flash_attention: bool = False,
     fast_attention_scores: bool = False,
     fast_norms: bool = False,
+    fast_norm_reductions: bool = False,
     fused_blocks: bool = False,
     seed: int = 0,
 ):
@@ -376,12 +380,14 @@ def load_models(
         use_flash_attention=use_flash_attention,
         fast_attention_scores=fast_attention_scores,
         fast_norms=fast_norms,
+        fast_norm_reductions=fast_norm_reductions,
         fused_blocks=fused_blocks,
     )
     # the VAE decoder's 4096-token attention uses the streaming flash kernel
     # under the same flag; its GroupNorms follow fast_norms
     vae_cfg = dataclasses.replace(
-        vae_cfg, use_flash_attention=use_flash_attention, fast_norms=fast_norms
+        vae_cfg, use_flash_attention=use_flash_attention, fast_norms=fast_norms,
+        fast_norm_reductions=fast_norm_reductions,
     )
     modules = build_models(
         extra_num_tokens=extra_num_tokens,
