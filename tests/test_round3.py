@@ -256,3 +256,41 @@ def test_serve_scheduler_field(tmp_path):
         assert any(k[3] == "ddim" for k in service._pipelines)
     finally:
         server.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# fast_norm_reductions: the flag must thread from build_models into both the
+# UNet and VAE configs, and lifting flax's force_float32_reductions must not
+# materially change the forward output (measured end-to-end as an exact
+# throughput tie — see PERFORMANCE.md "bf16 norm-statistics reductions").
+# ---------------------------------------------------------------------------
+
+
+def test_fast_norm_reductions_threads_and_is_numerically_benign():
+    from photoverse_tpu.models.assembly import build_models
+    from photoverse_tpu.models.unet import UNet2DCondition, UNetConfig
+
+    mods = build_models(fast_norms=True, fast_norm_reductions=True)
+    assert mods.unet.config.fast_norm_reductions
+    assert mods.vae.config.fast_norm_reductions
+    mods_off = build_models(fast_norms=True)
+    assert not mods_off.unet.config.fast_norm_reductions
+
+    kw = dict(block_out_channels=(32, 64), layers_per_block=1,
+              cross_attention_dim=16, num_heads=2, norm_num_groups=8,
+              fast_norms=True)
+    u_off = UNet2DCondition(UNetConfig(**kw), dtype=jnp.bfloat16)
+    u_on = UNet2DCondition(
+        UNetConfig(fast_norm_reductions=True, **kw), dtype=jnp.bfloat16
+    )
+    rng = np.random.RandomState(7)
+    s = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
+    t = jnp.asarray([5])
+    text = jnp.asarray(rng.randn(1, 7, 16).astype(np.float32))
+    idc = jnp.asarray(rng.randn(1, 3, 16).astype(np.float32))
+    params = u_off.init(jax.random.PRNGKey(0), s, t, text, idc)["params"]
+    out_off, _ = u_off.apply({"params": params}, s, t, text, idc)
+    out_on, _ = u_on.apply({"params": params}, s, t, text, idc)
+    a, b = np.asarray(out_off, np.float32), np.asarray(out_on, np.float32)
+    assert np.all(np.isfinite(b))
+    np.testing.assert_allclose(a, b, atol=0.1)
