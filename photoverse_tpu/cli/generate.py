@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fast", action="store_true",
                    help="TPU fast path: bf16 compute + flash self-attention "
                         "+ bf16 attention scores + fused block-tail kernel")
+    p.add_argument("--int8_conditioning", action="store_true",
+                   help="W8A8 dynamic-int8 projections in the frozen CLIP "
+                        "conditioning encoders (MXU int8 runs ~1.76x bf16; "
+                        "opt-in — quantization changes the embeddings "
+                        "slightly)")
     p.add_argument("--scheduler", type=str, default="dpm",
                    choices=["dpm", "ddim"],
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
@@ -149,6 +154,7 @@ def main(argv=None):
         fast_attention_scores=args.fast,
         fast_norms=args.fast,
         fused_blocks=args.fast and on_tpu,
+        int8_conditioning=args.int8_conditioning,
     )
     solver = (
         DPMSolverMultistep.create_ddim(modules.schedule, args.num_timesteps)

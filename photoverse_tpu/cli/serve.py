@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--fast", action="store_true",
                    help="bf16 + flash attention + bf16 scores + fused block-tail kernel")
+    p.add_argument("--int8_conditioning", action="store_true",
+                   help="W8A8 dynamic-int8 projections in the frozen CLIP "
+                        "conditioning encoders (opt-in; slightly perturbs "
+                        "the embeddings)")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default configuration at startup")
     p.add_argument("--cpu", action="store_true",
@@ -75,6 +79,7 @@ class PhotoVerseService:
             fast_attention_scores=args.fast,
             fast_norms=args.fast,
             fused_blocks=args.fast and on_tpu,
+            int8_conditioning=args.int8_conditioning,
         )
         if args.native_tokenizer:
             from photoverse_tpu.data.native_tokenizer import (

@@ -96,6 +96,7 @@ def build_models(
     fast_norms: bool = False,
     fast_norm_reductions: bool = False,
     fused_blocks: bool = False,
+    int8_conditioning: bool = False,
     unet_config: Optional[UNetConfig] = None,
     vae_config: Optional[VAEConfig] = None,
     text_config: Optional[CLIPTextConfig] = None,
@@ -116,6 +117,11 @@ def build_models(
     )
     text_cfg = text_config or CLIPTextConfig()
     vision_cfg = vision_config or CLIPVisionConfig()
+    if int8_conditioning:
+        # W8A8 MXU path for the frozen conditioning encoders (ops/quant.py);
+        # inference-only — round() has zero gradient
+        text_cfg = dataclasses.replace(text_cfg, int8_dense=True)
+        vision_cfg = dataclasses.replace(vision_cfg, int8_dense=True)
     num_tokens = extra_num_tokens + 1
     return PhotoVerseModules(
         text_encoder=CLIPTextEncoder(config=text_cfg, dtype=dtype),
@@ -351,6 +357,7 @@ def load_models(
     fast_norms: bool = False,
     fast_norm_reductions: bool = False,
     fused_blocks: bool = False,
+    int8_conditioning: bool = False,
     seed: int = 0,
 ):
     """Full load path mirroring modeling_utils.py:53-95 for local checkpoints.
@@ -393,6 +400,7 @@ def load_models(
         extra_num_tokens=extra_num_tokens,
         image_encoder_layers_idx=image_encoder_layers_idx,
         dtype=dtype,
+        int8_conditioning=int8_conditioning,
         unet_config=unet_cfg,
         vae_config=vae_cfg,
         text_config=text_cfg,

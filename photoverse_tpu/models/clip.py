@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from photoverse_tpu.ops.injection import inject_concept_embeddings
+from photoverse_tpu.ops.quant import Int8Dense
 
 __all__ = [
     "CLIPTextConfig",
@@ -43,6 +44,9 @@ class CLIPTextConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
+    # W8A8 dynamic-int8 projections/MLPs (ops/quant.py) — inference-only
+    # fast path for the frozen conditioning stage; params unchanged
+    int8_dense: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +59,8 @@ class CLIPVisionConfig:
     patch_size: int = 14
     num_channels: int = 3
     layer_norm_eps: float = 1e-5
+    # see CLIPTextConfig.int8_dense
+    int8_dense: bool = False
 
     @property
     def seq_len(self) -> int:
@@ -73,19 +79,21 @@ class _CLIPLayer(nn.Module):
     intermediate_size: int
     eps: float
     dtype: jnp.dtype = jnp.float32
+    int8_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
         D, H = self.hidden_size, self.num_heads
         hd = D // H
+        Dense = Int8Dense if self.int8_dense else nn.Dense
         ln1 = nn.LayerNorm(epsilon=self.eps, name="ln1", dtype=self.dtype)
         ln2 = nn.LayerNorm(epsilon=self.eps, name="ln2", dtype=self.dtype)
 
         h = ln1(x)
         B, S, _ = h.shape
-        q = nn.Dense(D, name="q", dtype=self.dtype)(h).reshape(B, S, H, hd)
-        k = nn.Dense(D, name="k", dtype=self.dtype)(h).reshape(B, S, H, hd)
-        v = nn.Dense(D, name="v", dtype=self.dtype)(h).reshape(B, S, H, hd)
+        q = Dense(D, name="q", dtype=self.dtype)(h).reshape(B, S, H, hd)
+        k = Dense(D, name="k", dtype=self.dtype)(h).reshape(B, S, H, hd)
+        v = Dense(D, name="v", dtype=self.dtype)(h).reshape(B, S, H, hd)
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) * (hd**-0.5)
@@ -95,13 +103,13 @@ class _CLIPLayer(nn.Module):
         ctx = jnp.einsum(
             "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
         ).astype(self.dtype)
-        attn_out = nn.Dense(D, name="o", dtype=self.dtype)(ctx.reshape(B, S, D))
+        attn_out = Dense(D, name="o", dtype=self.dtype)(ctx.reshape(B, S, D))
         x = x + attn_out
 
         h = ln2(x)
-        h = nn.Dense(self.intermediate_size, name="fc1", dtype=self.dtype)(h)
+        h = Dense(self.intermediate_size, name="fc1", dtype=self.dtype)(h)
         h = quick_gelu(h)
-        h = nn.Dense(D, name="fc2", dtype=self.dtype)(h)
+        h = Dense(D, name="fc2", dtype=self.dtype)(h)
         return x + h
 
 
@@ -157,6 +165,7 @@ class CLIPTextEncoder(nn.Module):
                 intermediate_size=cfg.intermediate_size,
                 eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
+                int8_dense=cfg.int8_dense,
                 name=f"layer_{i}",
             )(x, causal)
 
@@ -233,6 +242,7 @@ class CLIPVisionEncoder(nn.Module):
                 intermediate_size=cfg.intermediate_size,
                 eps=cfg.layer_norm_eps,
                 dtype=self.dtype,
+                int8_dense=cfg.int8_dense,
                 name=f"layer_{i}",
             )(x, None)
             if (i + 1) in collect_layers:
