@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "conditioning encoders (MXU int8 runs ~1.76x bf16; "
                         "opt-in — quantization changes the embeddings "
                         "slightly)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="Shard the sample batch over all local devices "
+                        "(GSPMD data-parallel inference; the batch is "
+                        "padded to a multiple of the device count)")
     p.add_argument("--scheduler", type=str, default="dpm",
                    choices=["dpm", "ddim"],
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
@@ -193,17 +197,58 @@ def main(argv=None):
         ip_mask = jnp.repeat(ip_mask, B, axis=0)
 
     seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(4), "little")
-    images = jax.jit(
-        lambda p, r: run_inference(
-            modules, p, solver, dev_example, r,
+
+    def gen(p, ex, un, mask, r):
+        return run_inference(
+            modules, p, solver, ex, r,
             guidance_scale=args.guidance_scale,
             token_index=0,
             latent_size=latent_size,
             from_noised_image=args.from_noised_image,
-            uncond_input_ids=uncond_ids,
-            ip_mask=ip_mask,
+            uncond_input_ids=un,
+            ip_mask=mask,
         )
-    )(params, jax.random.PRNGKey(seed))
+
+    n_dev = len(jax.devices())
+    if args.data_parallel and n_dev > 1:
+        # GSPMD data-parallel batch sharding (parallel/mesh.py); rows are
+        # independent through the whole pipeline, so results match the
+        # single-device route exactly (tests/test_parallel.py)
+        from photoverse_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, replicated, shard_batch,
+        )
+
+        pad = (-B) % n_dev
+        if pad:
+            dev_example = {
+                k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)])
+                for k, v in dev_example.items()
+            }
+            uncond_ids = jnp.concatenate(
+                [uncond_ids, jnp.repeat(uncond_ids[-1:], pad, 0)]
+            )
+            if ip_mask is not None:
+                ip_mask = jnp.concatenate(
+                    [ip_mask, jnp.repeat(ip_mask[-1:], pad, 0)]
+                )
+        mesh = make_mesh()
+        repl, bs = replicated(mesh), batch_sharding(mesh)
+        params = jax.device_put(params, repl)
+        dev_example = shard_batch(mesh, dev_example)
+        uncond_ids = jax.device_put(uncond_ids, bs)
+        if ip_mask is not None:
+            ip_mask = jax.device_put(ip_mask, bs)
+        mask_sh = bs if ip_mask is not None else repl
+        images = jax.jit(
+            gen,
+            in_shardings=(repl, {k: bs for k in dev_example}, bs, mask_sh, repl),
+            out_shardings=bs,
+        )(params, dev_example, uncond_ids, ip_mask, jax.random.PRNGKey(seed))
+        images = images[:B]
+    else:
+        images = jax.jit(gen)(
+            params, dev_example, uncond_ids, ip_mask, jax.random.PRNGKey(seed)
+        )
 
     os.makedirs(args.results_dir, exist_ok=True)
     for idx, img in enumerate(np.asarray(images)):

@@ -296,3 +296,37 @@ def test_serve_cli_end_to_end(tmp_path):
         assert _json.loads(r2.read())["latency_s"] < resp["latency_s"]
     finally:
         server.shutdown()
+
+
+def test_generate_cli_data_parallel_matches_single_device(tmp_path):
+    """--data_parallel shards the sample batch over the 8 virtual CPU
+    devices (with padding: 3 samples over 8 devices) and must produce the
+    same images as the single-device route under the same seed."""
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(1)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+
+    from photoverse_tpu.cli.generate import main
+
+    common = [
+        "--model_path", root,
+        "--checkpoint_path", "",
+        "--input_image_path", str(face),
+        "--output_image_path", "gen",
+        "--num_timesteps", "3",
+        "--resolution", "32",
+        "--guidance_scale", "2.0",
+        "--num_of_samples", "3",
+        "--encoder_layers_idx", "1", "2", "3", "4",
+        "--seed", "11",
+    ]
+    single = tmp_path / "single"
+    sharded = tmp_path / "sharded"
+    main(common + ["--results_dir", str(single)])
+    main(common + ["--results_dir", str(sharded), "--data_parallel"])
+    for i in range(3):
+        a = np.asarray(Image.open(single / f"gen{i}.png"), np.int32)
+        b = np.asarray(Image.open(sharded / f"gen{i}.png"), np.int32)
+        # identical math modulo GSPMD placement; allow 8-bit rounding slack
+        assert np.max(np.abs(a - b)) <= 1
