@@ -49,9 +49,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "+ bf16 attention scores + fused block-tail kernel")
     p.add_argument("--int8_conditioning", action="store_true",
                    help="W8A8 dynamic-int8 projections in the frozen CLIP "
-                        "conditioning encoders (MXU int8 runs ~1.76x bf16; "
-                        "opt-in — quantization changes the embeddings "
-                        "slightly)")
+                        "conditioning encoders. Opt-in: +10%% conditioning "
+                        "throughput measured at batch 64 on random weights "
+                        "(ctx cosine >=0.999 there); real trained CLIPs have "
+                        "activation outliers that per-tensor scales are "
+                        "sensitive to — validate identity similarity on real "
+                        "weights (scripts/verify_real_weights.py) before "
+                        "production use")
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard the sample batch over all local devices "
                         "(GSPMD data-parallel inference; the batch is "

@@ -40,8 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 + flash attention + bf16 scores + fused block-tail kernel")
     p.add_argument("--int8_conditioning", action="store_true",
                    help="W8A8 dynamic-int8 projections in the frozen CLIP "
-                        "conditioning encoders (opt-in; slightly perturbs "
-                        "the embeddings)")
+                        "conditioning encoders. Opt-in, for BATCHED serving: "
+                        "+10%% measured at batch 64; at batch 1 the per-call "
+                        "quantization overhead can outweigh the matmul win. "
+                        "Accuracy validated on random weights only — check "
+                        "identity similarity on real weights first")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default configuration at startup")
     p.add_argument("--cpu", action="store_true",

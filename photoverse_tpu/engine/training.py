@@ -156,6 +156,18 @@ def make_train_step(
     face_concept_placeholder_idx for the pre-sliced face sub-batch
     (reference random_batch_slicing, train.py:522-525).
     """
+    # Int8Dense (ops/quant.py) rounds its operands — round() has ZERO
+    # gradient, so adapter gradients flowing through the text encoder
+    # would silently vanish: the loss stays finite while training stalls.
+    # Refuse loudly instead of failing invisibly.
+    if getattr(modules.text_encoder.config, "int8_dense", False) or getattr(
+        modules.vision_encoder.config, "int8_dense", False
+    ):
+        raise ValueError(
+            "int8_conditioning/int8_dense is inference-only: the quantizer's "
+            "round() has zero gradient and would silently stall adapter "
+            "training. Build the training modules without it."
+        )
     schedule = modules.schedule
 
     def loss_fn(trainable: Dict, frozen: Dict, batch: Dict, rng: jax.Array):

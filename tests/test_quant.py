@@ -90,3 +90,17 @@ def test_int8_flag_threads_and_encoders_stay_close():
     hv, _ = ve.apply({"params": pv}, px, collect_layers=(1,))
     hv_q, _ = ve_q.apply({"params": pv}, px, collect_layers=(1,))
     assert _cos(hv, hv_q) > 0.99
+
+
+def test_training_refuses_int8_modules():
+    """round() has zero gradient — make_train_step must refuse int8 builds
+    loudly instead of letting adapter training stall silently."""
+    import optax
+    import pytest
+
+    from photoverse_tpu.engine.training import TrainConfig, make_train_step
+    from photoverse_tpu.models.assembly import build_models
+
+    mods = build_models(int8_conditioning=True)
+    with pytest.raises(ValueError, match="inference-only"):
+        make_train_step(mods, TrainConfig(), optax.sgd(1e-3))
