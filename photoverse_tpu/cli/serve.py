@@ -40,9 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bf16 + flash attention + bf16 scores + fused block-tail kernel")
     p.add_argument("--int8_conditioning", action="store_true",
                    help="W8A8 dynamic-int8 projections in the frozen CLIP "
-                        "conditioning encoders. Opt-in, for BATCHED serving: "
-                        "+10%% measured at batch 64; at batch 1 the per-call "
-                        "quantization overhead can outweigh the matmul win. "
+                        "conditioning encoders. Opt-in: +10%% measured at "
+                        "batch 64; measured NEUTRAL at batch 1 (30.9 ms "
+                        "both routes — latency-floor-bound). "
                         "Accuracy validated on random weights only — check "
                         "identity similarity on real weights first")
     p.add_argument("--warmup", action="store_true",

@@ -18,7 +18,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from photoverse_tpu.engine.inference import encode_condition
 from photoverse_tpu.models.assembly import build_models, init_params
 
-BATCH, TRIALS = 64, 6
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+TRIALS = 6
 
 def note(m): print(f"# {m}", file=sys.stderr, flush=True)
 
