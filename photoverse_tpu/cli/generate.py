@@ -59,7 +59,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", action="store_true",
                    help="Shard the sample batch over all local devices "
                         "(GSPMD data-parallel inference; the batch is "
-                        "padded to a multiple of the device count)")
+                        "padded to a multiple of the device count). "
+                        "Alias for --sharding data")
+    p.add_argument("--sharding", type=str, default="none",
+                   choices=["none", "data", "spatial", "tensor"],
+                   help="Multi-chip execution mode. data: batch rows over "
+                        "all devices (throughput; batch >= devices). "
+                        "spatial: latent height over the model axis — GSPMD "
+                        "patch parallelism with halo-exchanged convs and "
+                        "gathered-KV attention (batch-1 latency; "
+                        "parallel/sp.py). tensor: Megatron-style "
+                        "heads/FFN weight sharding of the UNet "
+                        "(parallel/tp.py). spatial/tensor compose with data "
+                        "parallelism on a 2-D mesh via --model_parallel")
+    p.add_argument("--model_parallel", type=int, default=0,
+                   help="Model-axis size for --sharding spatial|tensor "
+                        "(0 = all local devices; the rest of the devices "
+                        "form the data axis)")
     p.add_argument("--scheduler", type=str, default="dpm",
                    choices=["dpm", "ddim"],
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
@@ -152,6 +168,15 @@ def main(argv=None):
     ckpt = args.checkpoint_path or None
     if ckpt and not os.path.exists(ckpt):
         raise SystemExit(f"checkpoint not found: {ckpt}")
+    sharding_mode = args.sharding
+    if args.data_parallel and sharding_mode == "none":
+        sharding_mode = "data"
+    if sharding_mode in ("spatial", "tensor") and args.fast:
+        raise SystemExit(
+            "--sharding spatial/tensor requires the jnp attention path — "
+            "drop --fast (the Pallas kernels are single-device custom "
+            "calls GSPMD cannot shard)"
+        )
     tokenizer, modules, params, _ = load_models(
         args.model_path,
         extra_num_tokens=args.extra_num_tokens,
@@ -163,6 +188,7 @@ def main(argv=None):
         fast_norms=args.fast,
         fused_blocks=args.fast and on_tpu,
         int8_conditioning=args.int8_conditioning,
+        tp_friendly_ffn=sharding_mode == "tensor",
     )
     solver = (
         DPMSolverMultistep.create_ddim(modules.schedule, args.num_timesteps)
@@ -202,6 +228,8 @@ def main(argv=None):
 
     seed = args.seed if args.seed is not None else int.from_bytes(os.urandom(4), "little")
 
+    lat_sh = None  # spatial-parallel latent sharding (set below)
+
     def gen(p, ex, un, mask, r):
         return run_inference(
             modules, p, solver, ex, r,
@@ -211,18 +239,35 @@ def main(argv=None):
             from_noised_image=args.from_noised_image,
             uncond_input_ids=un,
             ip_mask=mask,
+            latent_sharding=lat_sh,
         )
 
     n_dev = len(jax.devices())
-    if args.data_parallel and n_dev > 1:
-        # GSPMD data-parallel batch sharding (parallel/mesh.py); rows are
-        # independent through the whole pipeline, so results match the
-        # single-device route exactly (tests/test_parallel.py)
+    if sharding_mode != "none" and n_dev > 1:
+        # GSPMD multi-chip execution (tests/test_parallel.py,
+        # tests/test_tp.py prove all three modes match single-device):
+        #   data    — 1-D batch sharding; rows are independent end-to-end
+        #   spatial — latent height over the model axis (parallel/sp.py):
+        #             halo-exchanged convs + gathered-KV attention; the
+        #             only mode that speeds up batch-1 latency
+        #   tensor  — Megatron heads/FFN weight sharding (parallel/tp.py)
         from photoverse_tpu.parallel.mesh import (
-            batch_sharding, make_mesh, replicated, shard_batch,
+            batch_sharding, replicated, shard_batch,
+        )
+        from photoverse_tpu.parallel.sp import (
+            latent_spatial_sharding, validate_sp,
+        )
+        from photoverse_tpu.parallel.tp import (
+            bundle_tp_shardings, make_mesh_2d, validate_tp,
         )
 
-        pad = (-B) % n_dev
+        if sharding_mode == "data":
+            dp, mp = n_dev, 1
+        else:
+            mp = args.model_parallel or n_dev
+            dp = max(n_dev // mp, 1)
+        mesh = make_mesh_2d(dp, mp)
+        pad = (-B) % dp
         if pad:
             dev_example = {
                 k: jnp.concatenate([v, jnp.repeat(v[-1:], pad, 0)])
@@ -235,18 +280,27 @@ def main(argv=None):
                 ip_mask = jnp.concatenate(
                     [ip_mask, jnp.repeat(ip_mask[-1:], pad, 0)]
                 )
-        mesh = make_mesh()
         repl, bs = replicated(mesh), batch_sharding(mesh)
-        params = jax.device_put(params, repl)
+        if sharding_mode == "tensor":
+            validate_tp(modules.unet.config, mp)
+            psh = bundle_tp_shardings(mesh, params)
+            params = jax.tree.map(jax.device_put, params, psh)
+        else:
+            psh = repl
+            params = jax.device_put(params, repl)
+        if sharding_mode == "spatial":
+            validate_sp(modules.unet.config, latent_size, mp)
+            lat_sh = latent_spatial_sharding(mesh)
         dev_example = shard_batch(mesh, dev_example)
         uncond_ids = jax.device_put(uncond_ids, bs)
         if ip_mask is not None:
             ip_mask = jax.device_put(ip_mask, bs)
         mask_sh = bs if ip_mask is not None else repl
+        out_sh = lat_sh if lat_sh is not None else bs
         images = jax.jit(
             gen,
-            in_shardings=(repl, {k: bs for k in dev_example}, bs, mask_sh, repl),
-            out_shardings=bs,
+            in_shardings=(psh, {k: bs for k in dev_example}, bs, mask_sh, repl),
+            out_shardings=out_sh,
         )(params, dev_example, uncond_ids, ip_mask, jax.random.PRNGKey(seed))
         images = images[:B]
     else:

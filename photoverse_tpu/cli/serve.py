@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "identity similarity on real weights first")
     p.add_argument("--warmup", action="store_true",
                    help="compile the default configuration at startup")
+    p.add_argument("--sharding", type=str, default="none",
+                   choices=["none", "spatial", "tensor"],
+                   help="Serve one request across ALL local devices: "
+                        "spatial = GSPMD patch parallelism (latent height "
+                        "sharded, halo-exchanged convs — cuts batch-1 "
+                        "latency; parallel/sp.py); tensor = Megatron "
+                        "heads/FFN UNet sharding (parallel/tp.py). Both "
+                        "require the jnp attention path (no --fast)")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU platform (the axon TPU plugin "
                         "ignores the JAX_PLATFORMS env var)")
@@ -72,6 +80,11 @@ class PhotoVerseService:
         self.jnp = jnp
         on_tpu = jax.default_backend() == "tpu"
         dtype = jnp.bfloat16 if args.fast else jnp.float32
+        if args.sharding != "none" and args.fast:
+            raise SystemExit(
+                "--sharding requires the jnp attention path — drop --fast "
+                "(the Pallas kernels are single-device custom calls)"
+            )
         self.tokenizer, self.modules, self.params, _ = load_models(
             args.model_path,
             extra_num_tokens=args.extra_num_tokens,
@@ -83,6 +96,7 @@ class PhotoVerseService:
             fast_norms=args.fast,
             fused_blocks=args.fast and on_tpu,
             int8_conditioning=args.int8_conditioning,
+            tp_friendly_ffn=args.sharding == "tensor",
         )
         if args.native_tokenizer:
             from photoverse_tpu.data.native_tokenizer import (
@@ -101,6 +115,36 @@ class PhotoVerseService:
         self.latent_size = args.resolution // factor
         self.clip_size = self.modules.vision_encoder.config.image_size
         self._pipelines = {}
+
+        # multi-chip single-request serving: one (1, n_dev) mesh, the whole
+        # model axis works on every request (tests/test_tp.py proves both
+        # modes reproduce the single-device pipeline)
+        self.lat_sh = None
+        self.param_sh = None
+        n_dev = len(jax.devices())
+        if args.sharding != "none" and n_dev > 1:
+            from photoverse_tpu.parallel.sp import (
+                latent_spatial_sharding, validate_sp,
+            )
+            from photoverse_tpu.parallel.tp import (
+                bundle_tp_shardings, make_mesh_2d, validate_tp,
+            )
+
+            mesh = make_mesh_2d(1, n_dev)
+            if args.sharding == "tensor":
+                validate_tp(self.modules.unet.config, n_dev)
+                self.param_sh = bundle_tp_shardings(mesh, self.params)
+            else:
+                validate_sp(self.modules.unet.config, self.latent_size, n_dev)
+                self.lat_sh = latent_spatial_sharding(mesh)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                self.param_sh = jax.tree.map(
+                    lambda _: NamedSharding(mesh, PartitionSpec()), self.params
+                )
+            self.params = jax.tree.map(
+                jax.device_put, self.params, self.param_sh
+            )
 
     def _pipeline(self, batch: int, steps: int, guidance: float,
                   scheduler: str = "dpm"):
@@ -123,9 +167,15 @@ class PhotoVerseService:
                     guidance_scale=guidance, token_index=0,
                     latent_size=self.latent_size,
                     uncond_input_ids=uncond_ids,
+                    latent_sharding=self.lat_sh,
                 )
 
-            self._pipelines[key] = jax.jit(gen)
+            if self.param_sh is not None:
+                self._pipelines[key] = jax.jit(
+                    gen, in_shardings=(self.param_sh, None, None, None)
+                )
+            else:
+                self._pipelines[key] = jax.jit(gen)
         return self._pipelines[key]
 
     def generate(self, req: dict) -> dict:

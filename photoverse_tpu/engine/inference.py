@@ -171,6 +171,7 @@ def denoise(
     train: bool = False,
     fusion_rng: Optional[jax.Array] = None,
     dropout_rng: Optional[jax.Array] = None,
+    latent_sharding=None,  # NamedSharding for (B, h, w, 4): spatial parallelism
 ) -> jnp.ndarray:
     """Full DPM-Solver++ trajectory; optionally the last `num_grad_steps`
     steps run outside the scan with gradients enabled (reference
@@ -252,13 +253,23 @@ def denoise(
     n = solver.num_steps
     n_scan = max(n - num_grad_steps, 0)
 
+    # spatial parallelism (parallel/sp.py): pin the scan carry to the
+    # height-sharded layout so GSPMD partitions every UNet conv (halo
+    # exchange) and runs attention with sharded queries / gathered K/V,
+    # instead of collapsing the trajectory onto one device between steps
+    constrain = (
+        (lambda t: jax.lax.with_sharding_constraint(t, latent_sharding))
+        if latent_sharding is not None
+        else (lambda t: t)
+    )
+
     def body(carry, x):
         lat, m_prev = carry
         eps = eps_fn(lat, x["t"])
         lat, m = solver.step(x, lat, eps, m_prev)
-        return (lat, m), None
+        return (constrain(lat), constrain(m)), None
 
-    carry = (latents, jnp.zeros_like(latents))
+    carry = (constrain(latents), jnp.zeros_like(latents))
     if n_scan > 0:
         xs_scan = jax.tree.map(lambda v: v[:n_scan], xs)
         carry, _ = jax.lax.scan(body, carry, xs_scan)
@@ -280,7 +291,8 @@ def denoise(
             )
         else:
             eps = eps_fn(lat, x["t"], use_cache=False)
-        carry = solver.step(x, lat, eps, m_prev)
+        lat, m = solver.step(x, lat, eps, m_prev)
+        carry = (constrain(lat), constrain(m))
     return carry[0]
 
 
@@ -298,6 +310,7 @@ def run_inference(
     uncond_input_ids: Optional[jnp.ndarray] = None,
     num_grad_steps: int = 0,
     ip_mask: Optional[jnp.ndarray] = None,
+    latent_sharding=None,  # NamedSharding: spatial parallelism (parallel/sp.py)
 ) -> jnp.ndarray:
     """Generate images for a preprocessed example batch.
 
@@ -364,8 +377,13 @@ def run_inference(
         guidance_scale,
         num_grad_steps=num_grad_steps,
         ip_mask=ip_mask,
+        latent_sharding=latent_sharding,
     )
 
+    if latent_sharding is not None:
+        # keep the decode input height-sharded so GSPMD spatially
+        # partitions the VAE decoder too (halo-exchanged convs)
+        latents = jax.lax.with_sharding_constraint(latents, latent_sharding)
     images = modules.vae.apply(
         {"params": params.vae}, latents / modules.scaling_factor, method="decode"
     )

@@ -97,6 +97,7 @@ def build_models(
     fast_norm_reductions: bool = False,
     fused_blocks: bool = False,
     int8_conditioning: bool = False,
+    tp_friendly_ffn: bool = False,
     unet_config: Optional[UNetConfig] = None,
     vae_config: Optional[VAEConfig] = None,
     text_config: Optional[CLIPTextConfig] = None,
@@ -110,7 +111,10 @@ def build_models(
         fast_norms=fast_norms,
         fast_norm_reductions=fast_norm_reductions,
         fused_blocks=fused_blocks,
+        tp_friendly_ffn=tp_friendly_ffn,
     )
+    if unet_config is not None and tp_friendly_ffn:
+        unet_cfg = dataclasses.replace(unet_cfg, tp_friendly_ffn=True)
     vae_cfg = vae_config or VAEConfig(
         use_flash_attention=use_flash_attention, fast_norms=fast_norms,
         fast_norm_reductions=fast_norm_reductions,
@@ -358,6 +362,7 @@ def load_models(
     fast_norm_reductions: bool = False,
     fused_blocks: bool = False,
     int8_conditioning: bool = False,
+    tp_friendly_ffn: bool = False,
     seed: int = 0,
 ):
     """Full load path mirroring modeling_utils.py:53-95 for local checkpoints.
@@ -389,6 +394,7 @@ def load_models(
         fast_norms=fast_norms,
         fast_norm_reductions=fast_norm_reductions,
         fused_blocks=fused_blocks,
+        tp_friendly_ffn=tp_friendly_ffn,
     )
     # the VAE decoder's 4096-token attention uses the streaming flash kernel
     # under the same flag; its GroupNorms follow fast_norms

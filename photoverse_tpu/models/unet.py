@@ -84,6 +84,15 @@ class UNetConfig:
     # query-tile rows per kernel program (ablated in PERFORMANCE.md round 3:
     # 512 > 256; 1024 needs the bf16 GEGLU temporaries of fast mode)
     fused_block_q_tile: int = 512
+    # compute the GEGLU value/gate halves as two weight-slice matmuls
+    # instead of one matmul + activation split — numerically identical
+    # (every output column is an independent dot product) and param-tree
+    # identical, but under tensor parallelism (parallel/tp.py) it keeps
+    # both halves cleanly column-sharded: slicing the *weight* is a
+    # scan-invariant op GSPMD hoists out of the denoise loop, while
+    # slicing the projected (B, S, 8C) activation would reshard it
+    # inside every step. Enabled by the CLIs whenever tp > 1.
+    tp_friendly_ffn: bool = False
 
     @property
     def time_embed_dim(self) -> int:
@@ -187,6 +196,36 @@ class _LoraDense(nn.Module):
             delta = (h @ a.astype(self.dtype)) @ b.astype(self.dtype)
             y = y + delta * (self.lora_alpha / self.lora_rank)
         return y
+
+
+class _GEGLUDense(nn.Module):
+    """GEGLU up-projection returning the (value, gate) halves directly.
+
+    Parameter-tree- and numerics-identical to
+    ``nn.Dense(features)`` + ``jnp.split(.., 2, -1)`` (kernel (C, 8C),
+    bias (8C,), lecun_normal/zeros init); see UNetConfig.tp_friendly_ffn
+    for why the weight is sliced instead of the activation.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        half = self.features // 2
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        x = x.astype(self.dtype)
+        return x @ k[:, :half] + b[:half], x @ k[:, half:] + b[half:]
 
 
 class SelfAttention(nn.Module):
@@ -320,6 +359,7 @@ class TransformerBlock(nn.Module):
     norm_dtype: jnp.dtype = jnp.float32
     fast_reductions: bool = False
     fused_q_tile: int = 512
+    tp_friendly_ffn: bool = False
 
     @nn.compact
     def __call__(
@@ -391,8 +431,13 @@ class TransformerBlock(nn.Module):
 
             # GEGLU feed-forward
             ff_in = ln("norm3")(h).astype(self.dtype)
-            proj = nn.Dense(8 * C, name="ff_proj", dtype=self.dtype)(ff_in)
-            a, gate = jnp.split(proj, 2, axis=-1)
+            if self.tp_friendly_ffn:
+                a, gate = _GEGLUDense(8 * C, name="ff_proj", dtype=self.dtype)(
+                    ff_in
+                )
+            else:
+                proj = nn.Dense(8 * C, name="ff_proj", dtype=self.dtype)(ff_in)
+                a, gate = jnp.split(proj, 2, axis=-1)
             h = h + nn.Dense(C, name="ff_out", dtype=self.dtype)(
                 a * jax.nn.gelu(gate, approximate=False)
             )
@@ -487,6 +532,7 @@ class UNet2DCondition(nn.Module):
             norm_dtype=norm_dtype,
             fast_reductions=fast_red,
             fused_q_tile=cfg.fused_block_q_tile,
+            tp_friendly_ffn=cfg.tp_friendly_ffn,
         )
 
         norms: List[jnp.ndarray] = []
