@@ -1,9 +1,12 @@
 """Training CLI — flag surface of the reference train.py
 (/root/reference/train.py:37-285), TPU data-parallel execution.
 
-The hot path is one jitted train step over a GSPMD data-parallel mesh
-(batch sharded, params replicated); periodic sample grids, face-similarity
-metric, checkpointing and metric logging mirror train.py:551-628.
+The hot path is one jitted train step over a GSPMD mesh: batch sharded on
+the data axis, params replicated by default, optionally FSDP/ZeRO-3-sharded
+over the data axis (--fsdp, parallel/fsdp.py) and/or Megatron-style
+tensor-parallel over a model axis (--tensor_parallel, parallel/tp.py).
+Periodic sample grids, face-similarity metric, checkpointing and metric
+logging mirror train.py:551-628.
 """
 
 from __future__ import annotations
@@ -98,6 +101,19 @@ def parse_args(argv=None):
     p.add_argument("--shard_optimizer_state", action="store_true",
                    help="ZeRO-1-style: shard the Adam moments over the data "
                         "axis (each chip holds 1/N of the optimizer state)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style (parallel/fsdp.py): shard ALL "
+                        "parameters — frozen backbone, trainables, optimizer "
+                        "state — over the data axis; XLA all-gathers weights "
+                        "where used and reduce-scatters gradients. Cuts "
+                        "per-chip parameter memory ~Nx (the frozen f32 "
+                        "backbone alone is ~5 GB at SD-1.5 scale)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="Megatron-style UNet tensor parallelism over a "
+                        "model mesh axis (parallel/tp.py), composing with "
+                        "data parallelism on a 2-D mesh. Must divide "
+                        "num_heads (8 for SD-1.5); requires the jnp "
+                        "attention path (no --flash_attention)")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash self-attention (exact; TPU fast path)")
     p.add_argument("--remat", action="store_true",
@@ -203,6 +219,7 @@ def main(argv=None):
         image_encoder_layers_idx=tuple(args.image_encoder_layers_idx),
         dtype=dtype,
         use_flash_attention=args.flash_attention,
+        tp_friendly_ffn=args.tensor_parallel > 1,
         seed=seed,
     )
     if args.remat:
@@ -249,7 +266,13 @@ def main(argv=None):
     # per-chip slice would exceed HBM (v5e-16GB fits ~8 at 512px). Gradients
     # accumulate inside optax.MultiSteps; clipping applies to the
     # accumulated gradient at the sync boundary (engine.training).
-    n_mesh_pre = jax.device_count()
+    tp = args.tensor_parallel
+    if tp > 1 and jax.device_count() % tp:
+        raise ValueError(
+            f"--tensor_parallel {tp} must divide the device count "
+            f"{jax.device_count()}"
+        )
+    n_mesh_pre = jax.device_count() // max(tp, 1)
     while args.train_batch_size % n_mesh_pre:
         n_mesh_pre -= 1
     accum = args.gradient_accumulation_steps
@@ -328,22 +351,61 @@ def main(argv=None):
         host_id=jax.process_index(),
     )
 
-    # data-parallel mesh over the largest device count dividing the batch
+    # mesh: data axis over the largest device count dividing the batch,
+    # optional model axis for tensor parallelism (parallel/tp.py)
     n_mesh = n_mesh_pre
     while micro_batch % n_mesh:
         n_mesh -= 1
-    mesh = make_mesh(n_mesh)
-    repl = replicated(mesh)
-    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
-    trainable, frozen = put(trainable), put(frozen)
-    if args.shard_optimizer_state and n_mesh > 1:
-        # ZeRO-1: each chip holds 1/n_mesh of the Adam moments; GSPMD
-        # inserts the gather/scatter around the optimizer update
-        opt_sharding = zero1_sharding(mesh, opt_state)
-        opt_state = jax.tree.map(jax.device_put, opt_state, opt_sharding)
+    if tp > 1:
+        from photoverse_tpu.parallel.tp import (
+            make_mesh_2d,
+            tree_tp_shardings,
+            validate_tp,
+        )
+
+        validate_tp(modules.unet.config, tp)
+        mesh = make_mesh_2d(n_mesh, tp)
+        t_sh = tree_tp_shardings(mesh, trainable)
+        f_sh = tree_tp_shardings(mesh, frozen)
+        o_base = tree_tp_shardings(mesh, opt_state)
     else:
-        opt_sharding = repl
-        opt_state = put(opt_state)
+        mesh = make_mesh(n_mesh)
+        t_sh = f_sh = o_base = None
+    repl = replicated(mesh)
+    as_tree = lambda sh, t: (
+        sh if sh is not None else jax.tree.map(lambda _: repl, t)
+    )
+    t_sh, f_sh = as_tree(t_sh, trainable), as_tree(f_sh, frozen)
+    use_fsdp = args.fsdp and n_mesh > 1
+    if use_fsdp:
+        # ZeRO-3: shard every param tree (and below, the optimizer state)
+        # over the data axis; XLA all-gathers weights at their use sites
+        # and reduce-scatters the gradients (parallel/fsdp.py)
+        from photoverse_tpu.parallel.fsdp import fsdp_shardings
+
+        t_sh = fsdp_shardings(mesh, trainable, base=t_sh)
+        f_sh = fsdp_shardings(mesh, frozen, base=f_sh)
+    trainable = jax.tree.map(jax.device_put, trainable, t_sh)
+    frozen = jax.tree.map(jax.device_put, frozen, f_sh)
+    if use_fsdp or (args.shard_optimizer_state and n_mesh > 1):
+        # ZeRO-1/3: each chip holds 1/n_mesh of the Adam moments; GSPMD
+        # inserts the gather/scatter around the optimizer update. The
+        # classic leading-dim zero1 spec is kept for the plain data-
+        # parallel case (bit-for-bit with prior rounds); FSDP/TP use the
+        # largest-free-dim spec that composes with the param shardings.
+        if use_fsdp or tp > 1:
+            from photoverse_tpu.parallel.fsdp import fsdp_shardings
+
+            opt_sharding = fsdp_shardings(
+                mesh, opt_state, base=as_tree(o_base, opt_state)
+            )
+        else:
+            opt_sharding = zero1_sharding(mesh, opt_state)
+    else:
+        opt_sharding = as_tree(o_base, opt_state)
+    opt_state = jax.tree.map(jax.device_put, opt_state, opt_sharding)
+    opt_is_sharded = use_fsdp or (args.shard_optimizer_state and n_mesh > 1)
+    params_are_sharded = use_fsdp or tp > 1
 
     step_fn = make_train_step(
         modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=face_solver,
@@ -351,8 +413,8 @@ def main(argv=None):
     )
     jstep = jax.jit(
         step_fn,
-        in_shardings=(repl, repl, opt_sharding, batch_sharding(mesh), repl),
-        out_shardings=(repl, opt_sharding, repl),
+        in_shardings=(t_sh, f_sh, opt_sharding, batch_sharding(mesh), repl),
+        out_shardings=(t_sh, opt_sharding, repl),
         donate_argnums=(0, 2),
     )
 
@@ -393,19 +455,30 @@ def main(argv=None):
             "SIGTERM/SIGINT so preemption never loses progress)"
         )
 
-    # ZeRO-1 under multi-host: gathering the sharded Adam moments is a
-    # CROSS-HOST COLLECTIVE, so every process must run it (calling it only
-    # on process 0 would deadlock the pod); the jitted identity is built
+    # ZeRO-1/3 under multi-host: gathering sharded state is a CROSS-HOST
+    # COLLECTIVE, so every process must run it (calling it only on
+    # process 0 would deadlock the pod); the jitted identities are built
     # once to avoid a recompile per checkpoint
     _gather_opt = (
         jax.jit(lambda t: t, out_shardings=repl)
-        if args.shard_optimizer_state and jax.process_count() > 1
+        if opt_is_sharded and jax.process_count() > 1
+        else (lambda t: t)
+    )
+    _gather_params = (
+        jax.jit(lambda t: t, out_shardings=repl)
+        if params_are_sharded and jax.process_count() > 1
         else (lambda t: t)
     )
 
     def gather_opt_for_save(opt_state_):
         """Run on ALL processes at every checkpoint boundary."""
         return _gather_opt(opt_state_) if opt_state_ is not None else None
+
+    def gathered_params():
+        """Full param bundle for sampling/checkpointing. With FSDP/TP under
+        multi-host this is a cross-host all-gather — run on ALL processes
+        (single-process sharded arrays gather locally in np.asarray)."""
+        return _gather_params(combine_params(trainable, frozen))
 
     def save_ckpt(params_, opt_state_, step_, force_native=False):
         # one host snapshot shared by all writers (AsyncCheckpointer.submit
@@ -522,31 +595,32 @@ def main(argv=None):
                 writer.log(logs, global_step)
 
             if stop_requested["flag"]:
+                full = gathered_params()  # all processes
                 opt_save = gather_opt_for_save(opt_state)  # all processes
                 if jax.process_index() == 0:
                     print(f"termination requested — checkpointing at step {global_step}")
-                    save_ckpt(
-                        combine_params(trainable, frozen), opt_save, global_step,
-                        force_native=True,
-                    )
+                    save_ckpt(full, opt_save, global_step, force_native=True)
                     if ckpt_async is not None:
                         ckpt_async.close()
                 return
 
-            if global_step % args.samples_save_steps == 0 and writer is not None:
-                _save_samples(
-                    args, modules, combine_params(trainable, frozen), tokenizer,
-                    eval_solver, batch, global_step, writer, run_inference,
-                    prepare_prompt, denormalize, denormalize_clip, to_pil,
-                    save_images_grid, jnp, jax, latent_size,
-                    face_metric=face_metric,
-                )
+            if global_step % args.samples_save_steps == 0 and (
+                writer is not None or params_are_sharded
+            ):
+                full = gathered_params()  # all processes (collective if sharded)
+                if writer is not None:
+                    _save_samples(
+                        args, modules, full, tokenizer,
+                        eval_solver, batch, global_step, writer, run_inference,
+                        prepare_prompt, denormalize, denormalize_clip, to_pil,
+                        save_images_grid, jnp, jax, latent_size,
+                        face_metric=face_metric,
+                    )
             if global_step % args.checkpoint_save_steps == 0:
+                full = gathered_params()  # all processes
                 opt_save = gather_opt_for_save(opt_state)  # all processes
                 if jax.process_index() == 0:
-                    save_ckpt(
-                        combine_params(trainable, frozen), opt_save, global_step
-                    )
+                    save_ckpt(full, opt_save, global_step)
             if global_step >= args.max_train_steps:
                 break
         if global_step >= args.max_train_steps:
@@ -554,9 +628,10 @@ def main(argv=None):
 
     if profiling_active:
         jax.profiler.stop_trace()
+    full = gathered_params()  # all processes
     opt_save = gather_opt_for_save(opt_state)  # all processes
     if jax.process_index() == 0:
-        save_ckpt(combine_params(trainable, frozen), opt_save, None)
+        save_ckpt(full, opt_save, None)
         if ckpt_async is not None:
             ckpt_async.close()
         if writer is not None:

@@ -330,3 +330,47 @@ def test_generate_cli_data_parallel_matches_single_device(tmp_path):
         b = np.asarray(Image.open(sharded / f"gen{i}.png"), np.int32)
         # identical math modulo GSPMD placement; allow 8-bit rounding slack
         assert np.max(np.abs(a - b)) <= 1
+
+
+def test_train_cli_tensor_parallel_fsdp(tmp_path):
+    """Train CLI over a 2-D (data x model) mesh: --tensor_parallel 2 shards
+    the UNet Megatron-style, --fsdp ZeRO-3-shards params + optimizer state
+    over the data axis (parallel/tp.py, parallel/fsdp.py). Two optimizer
+    steps must run, log finite losses, and checkpoint."""
+    root = _make_checkpoint(tmp_path)
+    data_root = tmp_path / "ds"
+    (data_root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            data_root / "images" / f"{i}.jpg"
+        )
+
+    from photoverse_tpu.cli.train import main
+
+    out_dir = tmp_path / "run_tp"
+    main([
+        "--pretrained_model_name_or_path", root,
+        "--data_root_path", str(data_root),
+        "--output_dir", str(out_dir),
+        "--resolution", "32",
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpoint_save_steps", "2",
+        "--samples_save_steps", "2",
+        "--denoise_timesteps", "2",
+        "--num_of_samples_to_save", "2",
+        "--learning_rate", "1e-4",
+        "--use_lora", "--lora_rank", "2",
+        "--image_encoder_layers_idx", "1", "2", "3", "4",
+        "--dataloader_num_workers", "1",
+        "--tensor_parallel", "2",
+        "--fsdp",
+        "--seed", "0",
+    ])
+    metrics = (out_dir / "metrics.jsonl").read_text().strip().splitlines()
+    rec = json.loads(metrics[-1])
+    assert "loss_mle" in rec and np.isfinite(rec["loss_mle"])
+    assert (out_dir / "photoverse_000002.msgpack").exists()
+    # the sample grid generated from the sharded params at step 2
+    assert (out_dir / "00002.jpg").exists()

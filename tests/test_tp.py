@@ -1,6 +1,8 @@
-"""Tensor- and spatial-parallel execution tests on the 8-device virtual CPU
-mesh: Megatron-style UNet weight sharding (parallel/tp.py) and GSPMD patch
-parallelism (parallel/sp.py) must reproduce the single-device pipeline."""
+"""Tensor-, spatial- and fully-sharded-parallel execution tests on the
+8-device virtual CPU mesh: Megatron-style UNet weight sharding
+(parallel/tp.py), GSPMD patch parallelism (parallel/sp.py) and FSDP/ZeRO-3
+parameter sharding (parallel/fsdp.py) must reproduce the single-device
+pipeline."""
 
 import dataclasses
 
@@ -17,7 +19,14 @@ from photoverse_tpu.engine.training import (
     make_optimizer,
     make_train_step,
 )
-from photoverse_tpu.parallel.mesh import batch_sharding, replicated, shard_batch
+from photoverse_tpu.parallel.fsdp import fsdp_shardings, fsdp_spec
+from photoverse_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
 from photoverse_tpu.parallel.sp import latent_spatial_sharding, validate_sp
 from photoverse_tpu.parallel.tp import (
     MODEL_AXIS,
@@ -205,4 +214,115 @@ def test_tp_train_step_matches_single_device():
     flat_ref = jax.tree.leaves(ref_trainable)
     flat_new = jax.tree.leaves(jax.device_get(new_t))
     for a, b in zip(flat_ref, flat_new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_fsdp_spec_rules():
+    """FSDP shards the largest free dim over the data axis, skips small
+    leaves, never double-shards, and preserves TP base specs."""
+    P = jax.sharding.PartitionSpec
+    # largest dim sharded (conv kernel: the 512-channel axes, first wins)
+    assert fsdp_spec((3, 3, 512, 512), 8) == P(None, None, DATA_AXIS)
+    # leading dim when it is the largest
+    assert fsdp_spec((4096, 320), 8) == P(DATA_AXIS)
+    # below min_size -> replicated
+    assert fsdp_spec((768,), 8) == P()
+    assert fsdp_spec((16, 16), 8, min_size=8) == P(DATA_AXIS)
+    # non-divisible dims are skipped (falls through to the next largest)
+    assert fsdp_spec((770, 768), 8) == P(None, DATA_AXIS)
+    # nothing divisible -> base unchanged
+    assert fsdp_spec((7, 9), 8, min_size=1) == P()
+    # TP base preserved; FSDP takes a free dim
+    base = P(None, MODEL_AXIS)
+    assert fsdp_spec((320, 2560), 8, base) == P(DATA_AXIS, MODEL_AXIS)
+    # base already on the data axis -> untouched
+    assert fsdp_spec((512, 512), 8, P(DATA_AXIS)) == P(DATA_AXIS)
+    # scalars/empty shapes -> base
+    assert fsdp_spec((), 8) == P()
+
+
+def test_fsdp_train_step_matches_single_device():
+    """One optimizer step with EVERYTHING (frozen backbone, trainables,
+    optimizer state) ZeRO-3-sharded over an 8-device data mesh reproduces
+    the replicated step bit-for-bit shape-wise and numerically."""
+    modules, params = tiny_bundle(lora_rank=4)
+    cfg = TrainConfig(max_train_steps=5, lr_warmup_steps=1, learning_rate=1e-3)
+    tx, _ = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules, params, tx)
+    batch = tiny_batch(B=8, seed=5)
+    key = jax.random.PRNGKey(1)
+    step = jax.jit(make_train_step(modules, cfg, tx, latent_size=LATENT))
+    ref_trainable, _, ref_metrics = step(trainable, frozen, opt_state, batch, key)
+
+    mesh = make_mesh(8)
+    t_sh = fsdp_shardings(mesh, trainable, min_size=8)
+    f_sh = fsdp_shardings(mesh, frozen, min_size=8)
+    o_sh = fsdp_shardings(mesh, opt_state, min_size=8)
+    # the tiny model must actually shard something for this to test FSDP
+    n_sharded = sum(
+        s.spec != jax.sharding.PartitionSpec() for s in jax.tree.leaves(f_sh)
+    )
+    assert n_sharded > 10
+    repl = replicated(mesh)
+    t_s = jax.tree.map(jax.device_put, trainable, t_sh)
+    f_s = jax.tree.map(jax.device_put, frozen, f_sh)
+    o_s = jax.tree.map(jax.device_put, opt_state, o_sh)
+    batch_s = shard_batch(mesh, batch)
+    jstep = jax.jit(
+        make_train_step(modules, cfg, tx, latent_size=LATENT),
+        in_shardings=(t_sh, f_sh, o_sh, batch_sharding(mesh), repl),
+        out_shardings=(t_sh, o_sh, repl),
+    )
+    new_t, _, metrics = jstep(t_s, f_s, o_s, batch_s, key)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref_trainable), jax.tree.leaves(jax.device_get(new_t))
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_fsdp_tp_combined_train_step_matches():
+    """FSDP over the data axis composed with tensor parallelism over the
+    model axis (2 x 2 mesh, 2-D-sharded weights where both apply)."""
+    modules, params = tiny_bundle(lora_rank=4)
+    cfg = TrainConfig(max_train_steps=5, lr_warmup_steps=1, learning_rate=1e-3)
+    tx, _ = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules, params, tx)
+    batch = tiny_batch(B=4, seed=7)
+    key = jax.random.PRNGKey(2)
+    step = jax.jit(make_train_step(modules, cfg, tx, latent_size=LATENT))
+    ref_trainable, _, ref_metrics = step(trainable, frozen, opt_state, batch, key)
+
+    modules_tp = _tp_modules(modules)
+    mesh = make_mesh_2d(2, 2)
+    t_sh = fsdp_shardings(mesh, trainable, base=tree_tp_shardings(mesh, trainable), min_size=8)
+    f_sh = fsdp_shardings(mesh, frozen, base=tree_tp_shardings(mesh, frozen), min_size=8)
+    o_sh = fsdp_shardings(mesh, opt_state, base=tree_tp_shardings(mesh, opt_state), min_size=8)
+    # composition must produce at least one 2-D-sharded weight
+    P = jax.sharding.PartitionSpec
+    two_d = [
+        s.spec
+        for s in jax.tree.leaves(t_sh)
+        if DATA_AXIS in tuple(s.spec) and MODEL_AXIS in tuple(s.spec)
+    ]
+    assert two_d, "expected FSDP x TP 2-D-sharded leaves"
+    repl = replicated(mesh)
+    t_s = jax.tree.map(jax.device_put, trainable, t_sh)
+    f_s = jax.tree.map(jax.device_put, frozen, f_sh)
+    o_s = jax.tree.map(jax.device_put, opt_state, o_sh)
+    batch_s = shard_batch(mesh, batch)
+    jstep = jax.jit(
+        make_train_step(modules_tp, cfg, tx, latent_size=LATENT),
+        in_shardings=(t_sh, f_sh, o_sh, batch_sharding(mesh), repl),
+        out_shardings=(t_sh, o_sh, repl),
+    )
+    new_t, _, metrics = jstep(t_s, f_s, o_s, batch_s, key)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(ref_trainable), jax.tree.leaves(jax.device_get(new_t))
+    ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
