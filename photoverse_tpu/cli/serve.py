@@ -2,17 +2,32 @@
 
 Production-facing extension beyond the reference's one-shot generate.py:
 loads + compiles once, then serves identity-personalized generations.
-stdlib-only (http.server); single-threaded request handling by design —
-the TPU runs one request at a time and requests batch internally.
+stdlib-only (http.server).
+
+Two execution modes:
+
+  default            one request at a time (single-threaded HTTP server);
+                     the TPU runs each request's samples as one batch.
+  --dynamic_batching concurrent requests with the same (steps, guidance,
+                     scheduler) coalesce into ONE padded device batch
+                     (threaded HTTP frontend + a single device-worker
+                     thread). Batch-4 serving measures ~1.45x cheaper per
+                     image than batch-1 on the chip (PERFORMANCE.md), so
+                     coalescing concurrent traffic raises throughput
+                     without touching per-request semantics: every request
+                     draws its starting noise from its own seed
+                     (run_inference(initial_noise=...)), so the images it
+                     gets do not depend on which batch it landed in.
 
   POST /generate
     {"image_b64": <base64 jpg/png> | "image_path": <server-local path>,
      "prompt": "a photo of a {}", "negative_prompt": null,
      "num_samples": 1, "steps": 25, "guidance_scale": 6.0, "seed": null,
      "scheduler": "dpm" | "ddim"}
-  -> {"images_b64": [<base64 png>, ...], "latency_s": ...}
+  -> {"images_b64": [<base64 png>, ...], "latency_s": ..., "seed": ...,
+      "batch_rows": <rows in the device batch that served this request>}
 
-  GET /healthz -> {"status": "ok", "compiled_shapes": [...]}
+  GET /healthz -> {"status": "ok", "compiled_shapes": [...], "stats": ...}
 """
 
 from __future__ import annotations
@@ -21,8 +36,10 @@ import argparse
 import base64
 import io
 import json
+import threading
 import time
-from http.server import BaseHTTPRequestHandler, HTTPServer
+from collections import deque
+from http.server import BaseHTTPRequestHandler, HTTPServer, ThreadingHTTPServer
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -36,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--default_steps", type=int, default=25)
     p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--dynamic_batching", action="store_true",
+                   help="Coalesce concurrent requests with the same "
+                        "(steps, guidance, scheduler) into one padded "
+                        "device batch (power-of-two buckets up to "
+                        "--max_batch). Per-request seeds are preserved: "
+                        "each request's rows draw from its own key")
+    p.add_argument("--batch_wait_ms", type=int, default=25,
+                   help="Dynamic batching: after the first request of a "
+                        "batch arrives, wait this long for more "
+                        "same-shaped requests before dispatching")
     p.add_argument("--fast", action="store_true",
                    help="bf16 + flash attention + bf16 scores + fused block-tail kernel")
     p.add_argument("--int8_conditioning", action="store_true",
@@ -65,9 +92,33 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _Pending:
+    """One enqueued request awaiting the device-worker thread."""
+
+    __slots__ = ("example", "n", "seed", "key", "event", "images",
+                 "error", "latency_s", "batch_rows", "enqueued")
+
+    def __init__(self, example, n, seed, key):
+        self.example = example
+        self.n = n
+        self.seed = seed
+        self.key = key  # (steps, guidance, scheduler)
+        self.event = threading.Event()
+        self.images = None
+        self.error = None
+        self.latency_s = 0.0
+        self.batch_rows = n
+        self.enqueued = time.monotonic()
+
+
 class PhotoVerseService:
     """Holds the model bundle and a cache of jitted pipelines keyed by
-    (batch, steps, guidance!=1) — each distinct shape compiles once."""
+    (batch, steps, guidance, scheduler) — each distinct shape compiles once."""
+
+    _EXAMPLE_KEYS = (
+        "pixel_values", "pixel_values_clip", "text_input_ids",
+        "concept_placeholder_idx", "negative_text_input_ids",
+    )
 
     def __init__(self, args):
         import jax
@@ -115,6 +166,24 @@ class PhotoVerseService:
         self.latent_size = args.resolution // factor
         self.clip_size = self.modules.vision_encoder.config.image_size
         self._pipelines = {}
+        # the Python BPE keeps a shared merge cache; tokenize under a lock
+        # when handler threads run concurrently (dynamic batching)
+        self._tok_lock = threading.Lock()
+        # guards _pipelines and _stats against handler-thread/worker races
+        self._state_lock = threading.Lock()
+
+        # dynamic batching: handler threads enqueue, ONE worker thread owns
+        # the device (JAX dispatch stays single-consumer)
+        self._queue: deque[_Pending] | None = None
+        self._qcond = threading.Condition()
+        self._stats = {"requests": 0, "batches": 0, "rows": 0,
+                       "padded_rows": 0}
+        if args.dynamic_batching:
+            self._queue = deque()
+            worker = threading.Thread(
+                target=self._worker_loop, name="photoverse-batcher", daemon=True
+            )
+            worker.start()
 
         # multi-chip single-request serving: one (1, n_dev) mesh, the whole
         # model axis works on every request (tests/test_tp.py proves both
@@ -146,6 +215,9 @@ class PhotoVerseService:
                 jax.device_put, self.params, self.param_sh
             )
 
+    # ------------------------------------------------------------------
+    # pipelines
+
     def _pipeline(self, batch: int, steps: int, guidance: float,
                   scheduler: str = "dpm"):
         import jax
@@ -154,38 +226,55 @@ class PhotoVerseService:
         from photoverse_tpu.engine.inference import run_inference
 
         key = (batch, steps, guidance, scheduler)
-        if key not in self._pipelines:
+        with self._state_lock:
+            pipe = self._pipelines.get(key)
+        if pipe is None:
             solver = (
                 DPMSolverMultistep.create_ddim(self.modules.schedule, steps)
                 if scheduler == "ddim"
                 else DPMSolverMultistep.create(self.modules.schedule, steps)
             )
 
-            def gen(params, example, uncond_ids, rng):
+            def gen(params, example, noise):
+                # initial noise is an argument (not rng-drawn inside) so
+                # coalesced requests keep per-request seeds; the rng below
+                # only feeds the unused image-noising branch
                 return run_inference(
-                    self.modules, params, solver, example, rng,
+                    self.modules, params, solver, example,
+                    self.jax.random.PRNGKey(0),
                     guidance_scale=guidance, token_index=0,
                     latent_size=self.latent_size,
-                    uncond_input_ids=uncond_ids,
+                    initial_noise=noise,
                     latent_sharding=self.lat_sh,
                 )
 
             if self.param_sh is not None:
-                self._pipelines[key] = jax.jit(
-                    gen, in_shardings=(self.param_sh, None, None, None)
-                )
+                pipe = jax.jit(gen, in_shardings=(self.param_sh, None, None))
             else:
-                self._pipelines[key] = jax.jit(gen)
-        return self._pipelines[key]
+                pipe = jax.jit(gen)
+            with self._state_lock:
+                pipe = self._pipelines.setdefault(key, pipe)
+        return pipe
 
-    def generate(self, req: dict) -> dict:
+    def _make_noise(self, seed: int, n: int):
+        """The exact starting noise the one-shot path would draw for this
+        seed: run_inference splits rng and samples from the first half."""
+        jax = self.jax
+        key = jax.random.split(jax.random.PRNGKey(int(seed)))[0]
+        in_ch = self.modules.unet.config.in_channels
+        return jax.random.normal(
+            key, (n, self.latent_size, self.latent_size, in_ch)
+        )
+
+    # ------------------------------------------------------------------
+    # request preparation (handler thread; CPU-only work)
+
+    def _prepare(self, req: dict):
         import numpy as np
         from PIL import Image
 
         from photoverse_tpu.cli.generate import preprocess_image_for_inference
-        from photoverse_tpu.utils.image import denormalize, to_pil
 
-        jnp = self.jnp
         n = min(int(req.get("num_samples", 1)), self.args.max_batch)
         steps = int(req.get("steps", self.args.default_steps))
         guidance = float(req.get("guidance_scale", 6.0))
@@ -201,7 +290,8 @@ class PhotoVerseService:
             img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
             tmp = io.BytesIO()
             img.convert("RGB").save(tmp, format="PNG")
-            import tempfile, os
+            import os
+            import tempfile
 
             with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
                 f.write(tmp.getvalue())
@@ -210,11 +300,19 @@ class PhotoVerseService:
             path = req["image_path"]
 
         try:
-            example = preprocess_image_for_inference(
-                path, self.tokenizer, template=prompt,
-                negative_prompt=req.get("negative_prompt"), num_of_samples=n,
-                size=self.args.resolution, clip_size=self.clip_size,
-            )
+            with self._tok_lock:
+                example = preprocess_image_for_inference(
+                    path, self.tokenizer, template=prompt,
+                    negative_prompt=req.get("negative_prompt"),
+                    num_of_samples=n,
+                    size=self.args.resolution, clip_size=self.clip_size,
+                )
+                if example.get("negative_text_input_ids") is None:
+                    # per-row negatives make mixed batches coalescible:
+                    # rows without an explicit negative use the empty prompt
+                    example["negative_text_input_ids"] = np.asarray(
+                        self.tokenizer([""] * n)
+                    )
         finally:
             # request-scoped temp PNG: unlink so a long-running server
             # doesn't leak one file per /generate call
@@ -222,42 +320,165 @@ class PhotoVerseService:
                 import os
 
                 os.unlink(tmp_path)
-        dev = {
-            k: jnp.asarray(v)
-            for k, v in example.items()
-            if k in ("pixel_values", "pixel_values_clip", "text_input_ids",
-                     "concept_placeholder_idx")
-        }
-        if example.get("negative_text_input_ids") is not None:
-            dev["negative_text_input_ids"] = jnp.asarray(
-                example["negative_text_input_ids"]
+
+        ex = {}
+        for k in self._EXAMPLE_KEYS:
+            v = np.asarray(example[k])
+            ex[k] = (
+                v.astype(np.int32)
+                if np.issubdtype(v.dtype, np.integer)
+                else v.astype(np.float32)
             )
-        uncond = jnp.asarray(self.tokenizer([""] * n), jnp.int32)
+        ex["concept_placeholder_idx"] = ex["concept_placeholder_idx"].reshape(n)
+
         seed = req.get("seed")
         if seed is None:
             import os as _os
 
             seed = int.from_bytes(_os.urandom(4), "little")
+        return ex, n, int(seed), (steps, guidance, scheduler)
+
+    # ------------------------------------------------------------------
+    # dynamic batching (single device-worker thread)
+
+    def _worker_loop(self):
+        while True:
+            with self._qcond:
+                while not self._queue:
+                    self._qcond.wait()
+                first = self._queue.popleft()
+            group = [first]
+            rows = first.n
+            deadline = time.monotonic() + self.args.batch_wait_ms / 1000.0
+            while rows < self.args.max_batch:
+                with self._qcond:
+                    take = None
+                    for item in self._queue:
+                        if (item.key == first.key
+                                and rows + item.n <= self.args.max_batch):
+                            take = item
+                            break
+                    if take is not None:
+                        self._queue.remove(take)
+                    else:
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._qcond.wait(timeout=remaining)
+                        continue
+                group.append(take)
+                rows += take.n
+            try:
+                self._run_group(group, rows)
+            except Exception as e:  # deliver the failure to every waiter
+                for g in group:
+                    g.error = e
+                    g.event.set()
+
+    def _run_group(self, group, rows: int):
+        import numpy as np
+
+        jnp = self.jnp
+        bucket = 1
+        while bucket < rows:
+            bucket *= 2
+        steps, guidance, scheduler = group[0].key
+
+        batch = {}
+        for k in self._EXAMPLE_KEYS:
+            cat = np.concatenate([g.example[k] for g in group], axis=0)
+            if bucket > rows:
+                pad = np.repeat(cat[-1:], bucket - rows, axis=0)
+                cat = np.concatenate([cat, pad], axis=0)
+            batch[k] = jnp.asarray(cat)
+        noise = jnp.concatenate(
+            [self._make_noise(g.seed, g.n) for g in group], axis=0
+        )
+        if bucket > rows:
+            noise = jnp.concatenate(
+                [noise, jnp.repeat(noise[-1:], bucket - rows, axis=0)], axis=0
+            )
 
         t0 = time.perf_counter()
-        images = self._pipeline(n, steps, guidance, scheduler)(
-            self.params, dev, uncond, self.jax.random.PRNGKey(int(seed))
+        images = self._pipeline(bucket, steps, guidance, scheduler)(
+            self.params, batch, noise
         )
         images = np.asarray(images)
         latency = time.perf_counter() - t0
+
+        with self._state_lock:
+            self._stats["batches"] += 1
+            self._stats["rows"] += rows
+            self._stats["padded_rows"] += bucket - rows
+        off = 0
+        for g in group:
+            g.images = images[off:off + g.n]
+            g.latency_s = latency
+            g.batch_rows = rows
+            off += g.n
+            g.event.set()
+
+    # ------------------------------------------------------------------
+
+    def generate(self, req: dict) -> dict:
+        import numpy as np
+
+        from photoverse_tpu.utils.image import denormalize, to_pil
+
+        with self._state_lock:
+            self._stats["requests"] += 1
+        example, n, seed, key = self._prepare(req)
+
+        if self._queue is not None:
+            pending = _Pending(example, n, seed, key)
+            with self._qcond:
+                self._queue.append(pending)
+                self._qcond.notify_all()
+            pending.event.wait()
+            if pending.error is not None:
+                raise pending.error
+            images, latency, batch_rows = (
+                pending.images, pending.latency_s, pending.batch_rows,
+            )
+        else:
+            jnp = self.jnp
+            steps, guidance, scheduler = key
+            dev = {k: jnp.asarray(v) for k, v in example.items()}
+            noise = self._make_noise(seed, n)
+            t0 = time.perf_counter()
+            images = self._pipeline(n, steps, guidance, scheduler)(
+                self.params, dev, noise
+            )
+            images = np.asarray(images)
+            latency = time.perf_counter() - t0
+            batch_rows = n
 
         out = []
         for img in images:
             buf = io.BytesIO()
             to_pil(denormalize(img)).save(buf, format="PNG")
             out.append(base64.b64encode(buf.getvalue()).decode())
-        return {"images_b64": out, "latency_s": round(latency, 3), "seed": seed}
+        return {
+            "images_b64": out,
+            "latency_s": round(latency, 3),
+            "seed": seed,
+            "batch_rows": batch_rows,
+        }
 
     def health(self) -> dict:
+        with self._state_lock:
+            stats = dict(self._stats)
+            shapes = [list(k) for k in self._pipelines]
+        if stats["batches"]:
+            stats["mean_rows_per_batch"] = round(
+                stats["rows"] / stats["batches"], 3
+            )
         return {
             "status": "ok",
-            "compiled_shapes": [list(k) for k in self._pipelines],
+            "compiled_shapes": shapes,
             "resolution": self.args.resolution,
+            "dynamic_batching": self._queue is not None,
+            "stats": stats,
         }
 
 
@@ -304,8 +525,12 @@ def main(argv=None):
     if args.warmup:
         print("[serve] warming up default pipeline...")
         service._pipeline(1, args.default_steps, 6.0)
-    server = HTTPServer((args.host, args.port), make_handler(service))
-    print(f"[serve] listening on http://{args.host}:{args.port}")
+    # dynamic batching needs concurrent handlers so requests can overlap in
+    # the queue; the device itself stays single-consumer (worker thread)
+    server_cls = ThreadingHTTPServer if args.dynamic_batching else HTTPServer
+    server = server_cls((args.host, args.port), make_handler(service))
+    mode = "dynamic batching" if args.dynamic_batching else "sequential"
+    print(f"[serve] listening on http://{args.host}:{args.port} ({mode})")
     server.serve_forever()
 
 

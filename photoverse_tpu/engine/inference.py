@@ -311,6 +311,7 @@ def run_inference(
     num_grad_steps: int = 0,
     ip_mask: Optional[jnp.ndarray] = None,
     latent_sharding=None,  # NamedSharding: spatial parallelism (parallel/sp.py)
+    initial_noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Generate images for a preprocessed example batch.
 
@@ -318,6 +319,12 @@ def run_inference(
     pixel_values_clip (B,224,224,3), text_input_ids (B,77),
     concept_placeholder_idx (B,) or (B,1), optional negative_text_input_ids.
     Returns images (B, H, W, 3) in [-1, 1]. Pure function of (params, rng).
+
+    `initial_noise` (B, latent, latent, in_channels) replaces the rng-drawn
+    starting noise — callers that coalesce independently-seeded requests
+    into one batch (cli/serve.py dynamic batching) draw each request's rows
+    from its own key and concatenate, so a request's images do not depend
+    on which batch it landed in.
     """
     px_clip = example["pixel_values_clip"]
     ids = example["text_input_ids"]
@@ -326,7 +333,10 @@ def run_inference(
     noise_rng, vae_rng = jax.random.split(rng)
 
     in_ch = modules.unet.config.in_channels
-    noise = jax.random.normal(noise_rng, (B, latent_size, latent_size, in_ch))
+    if initial_noise is not None:
+        noise = initial_noise
+    else:
+        noise = jax.random.normal(noise_rng, (B, latent_size, latent_size, in_ch))
 
     if from_noised_image:
         lat = modules.vae.apply(

@@ -298,6 +298,102 @@ def test_serve_cli_end_to_end(tmp_path):
         server.shutdown()
 
 
+def test_serve_dynamic_batching(tmp_path):
+    """--dynamic_batching coalesces concurrent same-shape requests into ONE
+    padded device batch (cli/serve.py worker thread) while preserving each
+    request's seed: a coalesced request returns the same images as the
+    sequential server given the same seed (run_inference initial_noise)."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from http.server import HTTPServer, ThreadingHTTPServer
+
+    from photoverse_tpu.cli.serve import PhotoVerseService, build_parser, make_handler
+
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+    img_b64 = base64.b64encode(face.read_bytes()).decode()
+
+    common = [
+        "--model_path", root, "--resolution", "32", "--default_steps", "2",
+        "--encoder_layers_idx", "1", "2", "3", "4", "--port", "0",
+    ]
+    seq = PhotoVerseService(build_parser().parse_args(common))
+    # max_batch 2 => the pair dispatches the moment both requests are queued
+    bat = PhotoVerseService(build_parser().parse_args(
+        common + ["--dynamic_batching", "--batch_wait_ms", "2000",
+                  "--max_batch", "2"]
+    ))
+
+    servers = []
+
+    def _serve(service, cls):
+        server = cls(("127.0.0.1", 0), make_handler(service))
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        servers.append(server)
+        return server.server_address[1]
+
+    p_seq = _serve(seq, HTTPServer)
+    p_bat = _serve(bat, ThreadingHTTPServer)
+
+    def post(port, body):
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=600,
+        )
+        return _json.loads(r.read())
+
+    def pixels(resp, i=0):
+        data = base64.b64decode(resp["images_b64"][i])
+        return np.asarray(Image.open(io.BytesIO(data)), np.int32)
+
+    try:
+        base = {"image_b64": img_b64, "prompt": "the photo of a {}",
+                "steps": 2, "guidance_scale": 2.0}
+        solo3 = post(p_seq, dict(base, seed=3))
+        solo7 = post(p_seq, dict(base, seed=7))
+
+        results = {}
+
+        def fire(seed):
+            results[seed] = post(p_bat, dict(base, seed=seed))
+
+        threads = [threading.Thread(target=fire, args=(s,)) for s in (3, 7)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        # coalesced into one device batch of 2 rows
+        assert results[3]["batch_rows"] == 2
+        assert results[7]["batch_rows"] == 2
+        # per-request seeds preserved: matches the sequential server modulo
+        # batch-1-vs-2 compilation (8-bit rounding slack), and the two
+        # seeds produce genuinely different images
+        assert np.max(np.abs(pixels(results[3]) - pixels(solo3))) <= 2
+        assert np.max(np.abs(pixels(results[7]) - pixels(solo7))) <= 2
+        assert np.max(np.abs(pixels(results[3]) - pixels(results[7]))) > 2
+
+        health = _json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{p_bat}/healthz").read()
+        )
+        assert health["dynamic_batching"] is True
+        assert health["stats"]["batches"] >= 1
+        assert health["stats"]["rows"] >= 2
+    finally:
+        for s in servers:
+            s.shutdown()
+
+
 def test_generate_cli_data_parallel_matches_single_device(tmp_path):
     """--data_parallel shards the sample batch over the 8 virtual CPU
     devices (with padding: 3 samples over 8 devices) and must produce the
