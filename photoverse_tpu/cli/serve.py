@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Dynamic batching: after the first request of a "
                         "batch arrives, wait this long for more "
                         "same-shaped requests before dispatching")
+    p.add_argument("--max_queue", type=int, default=64,
+                   help="Dynamic batching backpressure: reject requests "
+                        "with HTTP 503 once this many are queued for the "
+                        "device instead of growing latency unboundedly")
     p.add_argument("--fast", action="store_true",
                    help="bf16 + flash attention + bf16 scores + fused block-tail kernel")
     p.add_argument("--int8_conditioning", action="store_true",
@@ -90,6 +94,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(native/tokenizer.cc; parity-tested vs the Python "
                         "implementation, builds on first use)")
     return p
+
+
+class ServiceOverloaded(RuntimeError):
+    """Raised when the dynamic-batching queue is at --max_queue; the HTTP
+    handler maps it to 503 so load balancers can shed / retry elsewhere."""
 
 
 class _Pending:
@@ -177,7 +186,7 @@ class PhotoVerseService:
         self._queue: deque[_Pending] | None = None
         self._qcond = threading.Condition()
         self._stats = {"requests": 0, "batches": 0, "rows": 0,
-                       "padded_rows": 0}
+                       "padded_rows": 0, "rejected": 0}
         if args.dynamic_batching:
             self._queue = deque()
             worker = threading.Thread(
@@ -432,6 +441,12 @@ class PhotoVerseService:
         if self._queue is not None:
             pending = _Pending(example, n, seed, key)
             with self._qcond:
+                if len(self._queue) >= self.args.max_queue:
+                    with self._state_lock:
+                        self._stats["rejected"] += 1
+                    raise ServiceOverloaded(
+                        f"queue full ({self.args.max_queue} pending)"
+                    )
                 self._queue.append(pending)
                 self._qcond.notify_all()
             pending.event.wait()
@@ -506,6 +521,8 @@ def make_handler(service: PhotoVerseService):
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
                 self._reply(200, service.generate(req))
+            except ServiceOverloaded as e:  # backpressure: shed load
+                self._reply(503, {"error": str(e)})
             except Exception as e:  # surface errors to the client
                 self._reply(500, {"error": str(e)})
 

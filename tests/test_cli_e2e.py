@@ -307,6 +307,7 @@ def test_serve_dynamic_batching(tmp_path):
     import io
     import json as _json
     import threading
+    import urllib.error
     import urllib.request
 
     from http.server import HTTPServer, ThreadingHTTPServer
@@ -389,6 +390,18 @@ def test_serve_dynamic_batching(tmp_path):
         assert health["dynamic_batching"] is True
         assert health["stats"]["batches"] >= 1
         assert health["stats"]["rows"] >= 2
+
+        # backpressure: with the queue capacity forced to zero, the server
+        # sheds load with HTTP 503 instead of queueing unboundedly
+        bat.args.max_queue = 0
+        try:
+            post(p_bat, dict(base, seed=99))
+            raise AssertionError("expected HTTP 503 when the queue is full")
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert "queue full" in _json.loads(e.read())["error"]
+        finally:
+            bat.args.max_queue = 64
     finally:
         for s in servers:
             s.shutdown()
