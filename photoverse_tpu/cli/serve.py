@@ -11,8 +11,9 @@ Two execution modes:
   --dynamic_batching concurrent requests with the same (steps, guidance,
                      scheduler) coalesce into ONE padded device batch
                      (threaded HTTP frontend + a single device-worker
-                     thread). Batch-4 serving measures ~1.45x cheaper per
-                     image than batch-1 on the chip (PERFORMANCE.md), so
+                     thread). Batch-4 serving measures ~1.35x cheaper per
+                     image than batch-1 on the chip (0.62 -> 0.46 s/img at
+                     25 steps guidance 6, PERFORMANCE.md), so
                      coalescing concurrent traffic raises throughput
                      without touching per-request semantics: every request
                      draws its starting noise from its own seed
@@ -175,9 +176,10 @@ class PhotoVerseService:
         self.latent_size = args.resolution // factor
         self.clip_size = self.modules.vision_encoder.config.image_size
         self._pipelines = {}
-        # the Python BPE keeps a shared merge cache; tokenize under a lock
-        # when handler threads run concurrently (dynamic batching)
-        self._tok_lock = threading.Lock()
+        # concurrent handler threads tokenize without a lock: the Python
+        # BPE's merge cache is idempotent + GIL-atomic (data/tokenizer.py)
+        # and the native tokenizer's C++ cache is mutex-guarded
+        # (native/tokenizer.cc)
         # guards _pipelines and _stats against handler-thread/worker races
         self._state_lock = threading.Lock()
 
@@ -275,6 +277,44 @@ class PhotoVerseService:
             key, (n, self.latent_size, self.latent_size, in_ch)
         )
 
+    def warmup(self, steps: int | None = None, guidance: float = 6.0,
+               scheduler: str = "dpm"):
+        """Compile AND execute the serving pipelines before traffic: bucket
+        1 always, plus every power-of-two bucket up to --max_batch under
+        dynamic batching (each distinct batch shape is its own XLA program
+        — minutes each at SD scale on a cold cache). Dummy inputs use the
+        exact key set / shapes / dtypes `_prepare` produces so the compiled
+        signature is the one real requests hit."""
+        import numpy as np
+
+        jnp = self.jnp
+        steps = steps or self.args.default_steps
+        buckets = [1]
+        if self._queue is not None:
+            b = 2
+            while b <= self.args.max_batch:
+                buckets.append(b)
+                b *= 2
+        res = self.args.resolution
+        for b in buckets:
+            ids = np.asarray(self.tokenizer(["a photo of a *"] * b), np.int32)
+            neg = np.asarray(self.tokenizer([""] * b), np.int32)
+            example = {
+                "pixel_values": jnp.zeros((b, res, res, 3), jnp.float32),
+                "pixel_values_clip": jnp.zeros(
+                    (b, self.clip_size, self.clip_size, 3), jnp.float32
+                ),
+                "text_input_ids": jnp.asarray(ids),
+                "concept_placeholder_idx": jnp.zeros((b,), jnp.int32),
+                "negative_text_input_ids": jnp.asarray(neg),
+            }
+            print(f"[serve] warmup: compiling bucket {b} "
+                  f"({steps} steps, guidance {guidance})", flush=True)
+            out = self._pipeline(b, steps, guidance, scheduler)(
+                self.params, example, self._make_noise(0, b)
+            )
+            self.jax.block_until_ready(out)
+
     # ------------------------------------------------------------------
     # request preparation (handler thread; CPU-only work)
 
@@ -309,19 +349,18 @@ class PhotoVerseService:
             path = req["image_path"]
 
         try:
-            with self._tok_lock:
-                example = preprocess_image_for_inference(
-                    path, self.tokenizer, template=prompt,
-                    negative_prompt=req.get("negative_prompt"),
-                    num_of_samples=n,
-                    size=self.args.resolution, clip_size=self.clip_size,
+            example = preprocess_image_for_inference(
+                path, self.tokenizer, template=prompt,
+                negative_prompt=req.get("negative_prompt"),
+                num_of_samples=n,
+                size=self.args.resolution, clip_size=self.clip_size,
+            )
+            if example.get("negative_text_input_ids") is None:
+                # per-row negatives make mixed batches coalescible:
+                # rows without an explicit negative use the empty prompt
+                example["negative_text_input_ids"] = np.asarray(
+                    self.tokenizer([""] * n)
                 )
-                if example.get("negative_text_input_ids") is None:
-                    # per-row negatives make mixed batches coalescible:
-                    # rows without an explicit negative use the empty prompt
-                    example["negative_text_input_ids"] = np.asarray(
-                        self.tokenizer([""] * n)
-                    )
         finally:
             # request-scoped temp PNG: unlink so a long-running server
             # doesn't leak one file per /generate call
@@ -358,7 +397,10 @@ class PhotoVerseService:
                 first = self._queue.popleft()
             group = [first]
             rows = first.n
-            deadline = time.monotonic() + self.args.batch_wait_ms / 1000.0
+            # the wait window opens when the request ARRIVED, not when the
+            # worker got to it — a request that already queued through a
+            # previous batch's device run dispatches immediately
+            deadline = first.enqueued + self.args.batch_wait_ms / 1000.0
             while rows < self.args.max_batch:
                 with self._qcond:
                     take = None
@@ -436,6 +478,18 @@ class PhotoVerseService:
 
         with self._state_lock:
             self._stats["requests"] += 1
+        if self._queue is not None:
+            # shed load BEFORE paying image decode/preprocess CPU for a
+            # request that would be rejected anyway (racy check; the
+            # authoritative one guards the enqueue below)
+            with self._qcond:
+                overloaded = len(self._queue) >= self.args.max_queue
+            if overloaded:
+                with self._state_lock:
+                    self._stats["rejected"] += 1
+                raise ServiceOverloaded(
+                    f"queue full ({self.args.max_queue} pending)"
+                )
         example, n, seed, key = self._prepare(req)
 
         if self._queue is not None:
@@ -540,8 +594,7 @@ def main(argv=None):
         force_cpu()
     service = PhotoVerseService(args)
     if args.warmup:
-        print("[serve] warming up default pipeline...")
-        service._pipeline(1, args.default_steps, 6.0)
+        service.warmup()
     # dynamic batching needs concurrent handlers so requests can overlap in
     # the queue; the device itself stays single-consumer (worker thread)
     server_cls = ThreadingHTTPServer if args.dynamic_batching else HTTPServer

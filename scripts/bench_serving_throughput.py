@@ -112,9 +112,11 @@ def main(argv=None):
             t.join()
         return time.perf_counter() - t0, rows
 
-    # warmup: compile bucket 1 (sequential phase) and the burst buckets
-    print("[bench] warmup (compiles)...", flush=True)
-    request(10_000)
+    # warmup: compile EVERY power-of-two bucket the timed burst can hit
+    # (grouping is timing-dependent, so a straggler pair can land in a
+    # bucket the warmup burst never formed), then prime the request path
+    print("[bench] warmup (compiles all buckets)...", flush=True)
+    service.warmup(steps=args.steps, guidance=args.guidance_scale)
     burst(args.requests, args.concurrency, 20_000)
 
     # timed sequential: the true non-batched baseline — requests take the
