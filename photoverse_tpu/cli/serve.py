@@ -187,6 +187,7 @@ class PhotoVerseService:
         # the device (JAX dispatch stays single-consumer)
         self._queue: deque[_Pending] | None = None
         self._qcond = threading.Condition()
+        self._busy = False  # worker currently owns a popped group
         self._stats = {"requests": 0, "batches": 0, "rows": 0,
                        "padded_rows": 0, "rejected": 0}
         if args.dynamic_batching:
@@ -395,6 +396,7 @@ class PhotoVerseService:
                 while not self._queue:
                     self._qcond.wait()
                 first = self._queue.popleft()
+                self._busy = True
             group = [first]
             rows = first.n
             # the wait window opens when the request ARRIVED, not when the
@@ -425,6 +427,25 @@ class PhotoVerseService:
                 for g in group:
                     g.error = e
                     g.event.set()
+            finally:
+                with self._qcond:
+                    self._busy = False
+                    self._qcond.notify_all()
+
+    def drain(self, timeout_s: float = 600.0) -> bool:
+        """Graceful-shutdown helper: wait until every queued/in-flight
+        dynamic-batching request has been served (or timeout). Call after
+        the HTTP server stops accepting. Returns True when fully drained."""
+        if self._queue is None:
+            return True
+        deadline = time.monotonic() + timeout_s
+        with self._qcond:
+            while self._queue or self._busy:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self._qcond.wait(timeout=min(remaining, 1.0))
+        return True
 
     def _run_group(self, group, rows: int):
         import numpy as np
@@ -599,9 +620,24 @@ def main(argv=None):
     # the queue; the device itself stays single-consumer (worker thread)
     server_cls = ThreadingHTTPServer if args.dynamic_batching else HTTPServer
     server = server_cls((args.host, args.port), make_handler(service))
+
+    # graceful shutdown: SIGTERM/SIGINT stop the accept loop, then drain
+    # queued + in-flight requests before exiting (serve_forever cannot be
+    # shut down from its own thread, hence the helper thread)
+    import signal
+
+    def _term(signum, frame):
+        print(f"[serve] signal {signum}: stopping accept loop, draining")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGINT, _term)
+
     mode = "dynamic batching" if args.dynamic_batching else "sequential"
     print(f"[serve] listening on http://{args.host}:{args.port} ({mode})")
     server.serve_forever()
+    drained = service.drain()
+    print(f"[serve] {'drained' if drained else 'DRAIN TIMEOUT'}; exiting")
 
 
 if __name__ == "__main__":

@@ -391,6 +391,26 @@ def test_serve_dynamic_batching(tmp_path):
         assert health["stats"]["batches"] >= 1
         assert health["stats"]["rows"] >= 2
 
+        # requests with different shapes (steps 2 vs 3) must NOT coalesce:
+        # each dispatches as its own batch of 1 after its wait window
+        mixed = {}
+
+        def fire_mixed(steps):
+            mixed[steps] = post(p_bat, dict(base, seed=42, steps=steps))
+
+        threads = [
+            threading.Thread(target=fire_mixed, args=(s,)) for s in (2, 3)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert mixed[2]["batch_rows"] == 1
+        assert mixed[3]["batch_rows"] == 1
+
+        # graceful shutdown helper: queue is idle, drain returns True
+        assert bat.drain(timeout_s=30) is True
+
         # backpressure: with the queue capacity forced to zero, the server
         # sheds load with HTTP 503 instead of queueing unboundedly
         bat.args.max_queue = 0
