@@ -128,6 +128,10 @@ bool decode_file(const char* path, ImageU8* out) {
   fseek(f, 0, SEEK_END);
   long n = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (n <= 0) {  // ftell error (-1) or empty file: vector(size_t(n)) would
+    fclose(f);   // request ~SIZE_MAX bytes and throw
+    return false;
+  }
   std::vector<uint8_t> buf(n);
   if (fread(buf.data(), 1, n, f) != size_t(n)) {
     fclose(f);
@@ -222,15 +226,18 @@ void resize_f32(const std::vector<float>& in, int ih, int iw,
   }
 }
 
-// shortest-edge resize + center crop to (size,size), output float [0,1]
+// shortest-edge resize + center crop to (size,size), output float [0,1].
+// The long edge TRUNCATES (like torchvision Resize / transformers
+// get_resize_output_image_size, and data/preprocessing.py) — rounding
+// would shift the center crop by 1px on many aspect ratios.
 void resize_crop(const ImageU8& img, int size, std::vector<float>& out) {
   int nw, nh;
   if (img.w < img.h) {
     nw = size;
-    nh = std::max(int(std::lround(double(img.h) * size / img.w)), size);
+    nh = std::max(int(double(img.h) * size / img.w), size);
   } else {
     nh = size;
-    nw = std::max(int(std::lround(double(img.w) * size / img.h)), size);
+    nw = std::max(int(double(img.w) * size / img.h), size);
   }
   std::vector<float> fin(img.data.size());
   for (size_t i = 0; i < img.data.size(); ++i) fin[i] = img.data[i] / 255.0f;
@@ -261,28 +268,41 @@ int pv_load_batch(const char** paths, int n, int size, int clip_size,
                   float* out_pixel_values_clip) {
   std::atomic<int> ok{0};
   std::atomic<int> next{0};
+  auto process_one = [&](int i, float* pv, float* pc) -> bool {
+    ImageU8 img;
+    if (!decode_file(paths[i], &img)) return false;
+    std::vector<float> a, b;
+    resize_crop(img, size, a);
+    for (size_t j = 0; j < a.size(); ++j)
+      pv[j] = std::min(std::max(a[j] * 2.f - 1.f, -1.f), 1.f);
+    resize_crop(img, clip_size, b);
+    for (size_t j = 0; j < b.size(); ++j) {
+      int c = j % 3;
+      pc[j] = (std::min(std::max(b[j], 0.f), 1.f) - kClipMean[c]) / kClipStd[c];
+    }
+    return true;
+  };
   auto worker = [&]() {
     for (;;) {
       int i = next.fetch_add(1);
       if (i >= n) return;
-      ImageU8 img;
       float* pv = out_pixel_values + size_t(i) * size * size * 3;
       float* pc = out_pixel_values_clip + size_t(i) * clip_size * clip_size * 3;
-      if (!decode_file(paths[i], &img)) {
+      bool good;
+      try {
+        good = process_one(i, pv, pc);
+      } catch (...) {
+        // bad_alloc on a corrupt header declaring absurd dimensions etc. —
+        // an exception escaping a std::thread would std::terminate the
+        // whole process; count it as a per-file failure instead
+        good = false;
+      }
+      if (good) {
+        ok.fetch_add(1);
+      } else {
         memset(pv, 0, size_t(size) * size * 3 * sizeof(float));
         memset(pc, 0, size_t(clip_size) * clip_size * 3 * sizeof(float));
-        continue;
       }
-      std::vector<float> a, b;
-      resize_crop(img, size, a);
-      for (size_t j = 0; j < a.size(); ++j)
-        pv[j] = std::min(std::max(a[j] * 2.f - 1.f, -1.f), 1.f);
-      resize_crop(img, clip_size, b);
-      for (size_t j = 0; j < b.size(); ++j) {
-        int c = j % 3;
-        pc[j] = (std::min(std::max(b[j], 0.f), 1.f) - kClipMean[c]) / kClipStd[c];
-      }
-      ok.fetch_add(1);
     }
   };
   int t = std::max(num_threads, 1);
@@ -307,18 +327,11 @@ int pv_load_batch_masked(const char** img_paths, const char** mask_paths,
                          float* out_pixel_values_clip) {
   std::atomic<int> ok{0};
   std::atomic<int> next{0};
-  auto worker = [&]() {
-    for (;;) {
-      int i = next.fetch_add(1);
-      if (i >= n) return;
-      float* pv = out_pixel_values + size_t(i) * size * size * 3;
-      float* pc = out_pixel_values_clip + size_t(i) * clip_size * clip_size * 3;
+  auto process_one = [&](int i, float* pv, float* pc) -> bool {
       ImageU8 img, mask;
       if (!decode_file(img_paths[i], &img) ||
           !decode_file(mask_paths[i], &mask)) {
-        memset(pv, 0, size_t(size) * size * 3 * sizeof(float));
-        memset(pc, 0, size_t(clip_size) * clip_size * 3 * sizeof(float));
-        continue;
+        return false;
       }
       // VAE branch: same as the unmasked path
       std::vector<float> a;
@@ -356,10 +369,12 @@ int pv_load_batch_masked(const char** img_paths, const char** mask_paths,
           }
         }
       }
-      if (ymax < 0) {  // empty mask
-        memset(pc, 0, size_t(clip_size) * clip_size * 3 * sizeof(float));
-        ok.fetch_add(1);
-        continue;
+      if (ymax < 0) {
+        // empty mask: the sample has no face region to crop — reject it
+        // loudly (the Python path raises for the same input,
+        // data/preprocessing.py crop_to_mask_and_scale) instead of
+        // training on an all-zero conditioning image
+        return false;
       }
       // bbox expansion + squaring, matching crop_to_mask_and_scale's
       // integer arithmetic exactly (scale 0.15 each side, then square by
@@ -395,7 +410,26 @@ int pv_load_batch_masked(const char** img_paths, const char** mask_paths,
         int c = j % 3;
         pc[j] = (std::min(std::max(b[j], 0.f), 1.f) - kClipMean[c]) / kClipStd[c];
       }
-      ok.fetch_add(1);
+      return true;
+  };
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      float* pv = out_pixel_values + size_t(i) * size * size * 3;
+      float* pc = out_pixel_values_clip + size_t(i) * clip_size * clip_size * 3;
+      bool good;
+      try {
+        good = process_one(i, pv, pc);
+      } catch (...) {  // see pv_load_batch: never let a worker terminate()
+        good = false;
+      }
+      if (good) {
+        ok.fetch_add(1);
+      } else {
+        memset(pv, 0, size_t(size) * size * 3 * sizeof(float));
+        memset(pc, 0, size_t(clip_size) * clip_size * 3 * sizeof(float));
+      }
     }
   };
   int t = std::max(num_threads, 1);

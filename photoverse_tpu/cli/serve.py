@@ -11,12 +11,12 @@ Two execution modes:
   --dynamic_batching concurrent requests with the same (steps, guidance,
                      scheduler) coalesce into ONE padded device batch
                      (threaded HTTP frontend + a single device-worker
-                     thread). Batch-4 serving measures ~1.35x cheaper per
-                     image than batch-1 on the chip (0.62 -> 0.46 s/img at
-                     25 steps guidance 6, PERFORMANCE.md), so
-                     coalescing concurrent traffic raises throughput
-                     without touching per-request semantics: every request
-                     draws its starting noise from its own seed
+                     thread). Measured on-chip at SD-1.5 scale: +50%
+                     serving throughput under 8-client concurrent load
+                     (0.94 -> 1.41 imgs/s full-stack at 25 steps guidance
+                     6, PERFORMANCE.md round-3 session-5). Per-request
+                     semantics are untouched: every request draws its
+                     starting noise from its own seed
                      (run_inference(initial_noise=...)), so the images it
                      gets do not depend on which batch it landed in.
 

@@ -38,11 +38,14 @@ _PIL_INTERP = {
 
 
 def _resize_shortest(img: Image.Image, size: int, interpolation: str) -> Image.Image:
+    # the long edge TRUNCATES (int(size * long / short)) — both torchvision
+    # Resize and transformers get_resize_output_image_size do, so rounding
+    # here would shift the center crop by 1px on many aspect ratios
     w, h = img.size
     if w < h:
-        nw, nh = size, max(int(round(h * size / w)), size)
+        nw, nh = size, max(int(h * size / w), size)
     else:
-        nw, nh = max(int(round(w * size / h)), size), size
+        nw, nh = max(int(w * size / h), size), size
     return img.resize((nw, nh), _PIL_INTERP[interpolation])
 
 
@@ -85,6 +88,15 @@ def crop_to_mask_and_scale(
     m = np.where(mask > 0, 255, 0).astype(np.uint8)
     rows = np.any(m, axis=1)
     cols = np.any(m, axis=0)
+    if not rows.any():
+        # an all-zero mask means the prep pipeline produced garbage (e.g.
+        # wrong --dataset_src_masks_folder); fail loudly instead of the
+        # reference's bare IndexError — and match the native loader, which
+        # rejects the sample for the same reason (dataloader.cc)
+        raise ValueError(
+            "crop_to_mask_and_scale: mask is empty (all zeros) — no face "
+            "region to crop; check the mask files"
+        )
     ymin, ymax = np.where(rows)[0][[0, -1]]
     xmin, xmax = np.where(cols)[0][[0, -1]]
 
