@@ -43,7 +43,10 @@ def save_images_grid(
     header_height: int = 50,
 ) -> None:
     """Rows of images, each row prefixed with a caption header strip
-    (reference image_utils.py:32-70). Captions render "*" as "S*"."""
+    (reference image_utils.py:32-70). Template captions render their "{}"
+    placeholder as "S*" — text.format("S*"), reference image_utils.py:61;
+    captions without a placeholder (e.g. the gallery prompts, which already
+    contain "S*") are drawn verbatim."""
     if not grid_data:
         return
     rows = []
@@ -55,7 +58,8 @@ def save_images_grid(
         w = sum(im.width for im in images)
         row = Image.new("RGB", (w, h + header_height), "white")
         draw = ImageDraw.Draw(row)
-        draw.text((10, header_height // 3), caption.replace("*", "S*"), fill="black")
+        text = caption.format("S*") if "{}" in caption else caption
+        draw.text((10, header_height // 3), text, fill="black")
         x = 0
         for im in images:
             row.paste(im, (x, header_height))

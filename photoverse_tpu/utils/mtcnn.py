@@ -192,6 +192,21 @@ def _norm(x: np.ndarray) -> np.ndarray:
     return (x - 127.5) * 0.0078125
 
 
+def _pad_pow2(x: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Zero-pad the batch dim to the next power of two. The R/O-Net batch
+    sizes equal per-image detection counts, so without bucketing nearly
+    every image would trigger a fresh XLA compile of the jitted nets;
+    padded rows are sliced off after the call."""
+    n = x.shape[0]
+    b = 1
+    while b < n:
+        b *= 2
+    if b == n:
+        return x, n
+    pad = np.zeros((b - n, *x.shape[1:]), x.dtype)
+    return np.concatenate([x, pad], axis=0), n
+
+
 class MTCNN:
     def __init__(self, pnet_params, rnet_params, onet_params,
                  thresholds=(0.6, 0.7, 0.7), min_face_size: int = 20,
@@ -207,8 +222,11 @@ class MTCNN:
     def from_torch_weights(cls, path: str, **kw) -> "MTCNN":
         import torch
 
+        # weights_only=True: the facenet_pytorch files are plain tensor
+        # state dicts; full unpickling would execute arbitrary code from an
+        # untrusted weights file
         def load(p):
-            sd = torch.load(p, map_location="cpu", weights_only=False)
+            sd = torch.load(p, map_location="cpu", weights_only=True)
             return _convert_net({k: v.numpy() for k, v in sd.items()})
 
         if os.path.isdir(path):
@@ -218,7 +236,7 @@ class MTCNN:
                 load(os.path.join(path, "onet.pt")),
                 **kw,
             )
-        blob = torch.load(path, map_location="cpu", weights_only=False)
+        blob = torch.load(path, map_location="cpu", weights_only=True)
         conv = lambda sd: _convert_net({k: v.numpy() for k, v in sd.items()})
         return cls(conv(blob["pnet"]), conv(blob["rnet"]), conv(blob["onet"]), **kw)
 
@@ -228,7 +246,6 @@ class MTCNN:
         img = np.asarray(image).astype(np.float32)
         h, w = img.shape[:2]
         m = 12.0 / self.min_face_size
-        min_side = min(h, w) * m
 
         # stage 1: pyramid + PNet
         scales = []
@@ -268,11 +285,12 @@ class MTCNN:
         tb = tb[keep]
         tb[:, :4] = _rerec(_bbreg(tb[:, :4], tb[:, 5:9]))
 
-        # stage 2: RNet
-        crops = _crop_resize(img, tb, 24)
-        probs, reg = self.rnet(_norm(crops))
-        probs = np.asarray(probs)[:, 1]
-        reg = np.asarray(reg)
+        # stage 2: RNet (bucket-padded so the jit compiles per power-of-two
+        # batch, not per detection count)
+        crops, n = _pad_pow2(_norm(_crop_resize(img, tb, 24)))
+        probs, reg = self.rnet(crops)
+        probs = np.asarray(probs)[:n, 1]
+        reg = np.asarray(reg)[:n]
         mask = probs >= self.thresholds[1]
         if not mask.any():
             return None, None
@@ -282,11 +300,11 @@ class MTCNN:
         tb, reg = tb[keep], reg[keep]
         tb[:, :4] = _rerec(_bbreg(tb[:, :4], reg))
 
-        # stage 3: ONet
-        crops = _crop_resize(img, tb, 48)
-        probs, reg, _ = self.onet(_norm(crops))
-        probs = np.asarray(probs)[:, 1]
-        reg = np.asarray(reg)
+        # stage 3: ONet (bucket-padded, like stage 2)
+        crops, n = _pad_pow2(_norm(_crop_resize(img, tb, 48)))
+        probs, reg, _ = self.onet(crops)
+        probs = np.asarray(probs)[:n, 1]
+        reg = np.asarray(reg)[:n]
         mask = probs >= self.thresholds[2]
         if not mask.any():
             return None, None
