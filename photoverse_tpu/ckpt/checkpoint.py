@@ -38,6 +38,7 @@ __all__ = [
     "save_progress",
     "save_progress_pt",
     "load_photoverse_checkpoint",
+    "peek_lora_config",
 ]
 
 _TRAINABLE_UNET_LEAVES = ("to_k_ip", "to_v_ip", "lora_A", "lora_B")
@@ -279,6 +280,22 @@ def _convert_cross_attention_adapter(
         if target is not None and target in flat:
             flat[target] = jnp.asarray(arr, jnp.float32)
     return unflatten_dict(flat)
+
+
+def peek_lora_config(path: str) -> Optional[dict]:
+    """Read just the lora_config carried by a checkpoint (native sidecar
+    json or the `lora_config` entry of a reference .pt), without building
+    any model. The reference re-injects LoRA from this saved config before
+    loading weights (modeling_utils.py:16-18) — load_models uses this to do
+    the same, so a LoRA-trained checkpoint loads correctly even when the
+    caller (e.g. the generate/serve CLIs) never passed LoRA flags."""
+    if path.endswith(".msgpack"):
+        lora_path = path + ".lora.json"
+        return json.load(open(lora_path)) if os.path.exists(lora_path) else None
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    return state.get("lora_config")
 
 
 def load_photoverse_checkpoint(

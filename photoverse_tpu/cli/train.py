@@ -404,7 +404,11 @@ def main(argv=None):
     else:
         opt_sharding = as_tree(o_base, opt_state)
     opt_state = jax.tree.map(jax.device_put, opt_state, opt_sharding)
-    opt_is_sharded = use_fsdp or (args.shard_optimizer_state and n_mesh > 1)
+    # tp > 1 model-axis-shards the Adam moments via o_base even without
+    # --fsdp/--shard_optimizer_state, so it needs the pre-save gather too
+    opt_is_sharded = (
+        use_fsdp or tp > 1 or (args.shard_optimizer_state and n_mesh > 1)
+    )
     params_are_sharded = use_fsdp or tp > 1
 
     step_fn = make_train_step(
@@ -602,22 +606,36 @@ def main(argv=None):
                     save_ckpt(full, opt_save, global_step, force_native=True)
                     if ckpt_async is not None:
                         ckpt_async.close()
+                    if writer is not None:
+                        # flush buffered TB events / finish the wandb run —
+                        # this IS the preemption path, don't lose the tail
+                        writer.close()
                 return
 
-            if global_step % args.samples_save_steps == 0 and (
+            is_sample_step = global_step % args.samples_save_steps == 0 and (
                 writer is not None or params_are_sharded
-            ):
+            )
+            is_ckpt_step = global_step % args.checkpoint_save_steps == 0
+            if is_sample_step or is_ckpt_step:
+                # ONE gather serves both boundaries (under FSDP on a pod
+                # this is a full cross-host all-gather of the backbone)
                 full = gathered_params()  # all processes (collective if sharded)
-                if writer is not None:
-                    _save_samples(
-                        args, modules, full, tokenizer,
-                        eval_solver, batch, global_step, writer, run_inference,
-                        prepare_prompt, denormalize, denormalize_clip, to_pil,
-                        save_images_grid, jnp, jax, latent_size,
-                        face_metric=face_metric,
-                    )
-            if global_step % args.checkpoint_save_steps == 0:
-                full = gathered_params()  # all processes
+            if is_sample_step and writer is not None:
+                sample_params = full
+                if jax.process_count() > 1:
+                    # process-0-only inference cannot run on arrays committed
+                    # to the global mesh (not fully addressable); the gather
+                    # left them fully replicated, so a local host fetch is
+                    # legal on every process
+                    sample_params = jax.tree.map(np.asarray, full)
+                _save_samples(
+                    args, modules, sample_params, tokenizer,
+                    eval_solver, batch, global_step, writer, run_inference,
+                    prepare_prompt, denormalize, denormalize_clip, to_pil,
+                    save_images_grid, jnp, jax, latent_size,
+                    face_metric=face_metric,
+                )
+            if is_ckpt_step:
                 opt_save = gather_opt_for_save(opt_state)  # all processes
                 if jax.process_index() == 0:
                     save_ckpt(full, opt_save, global_step)

@@ -384,6 +384,20 @@ def load_models(
     root = pretrained_model_name_or_path
     tokenizer = CLIPTokenizer.from_pretrained(root, subfolder="tokenizer")
     ie_path = image_encoder_path or os.path.join(root, "image_encoder")
+    if photoverse_path is not None and not use_lora:
+        # the checkpoint knows whether it was trained with LoRA — re-inject
+        # from its saved config like the reference (modeling_utils.py:16-18);
+        # without this a LoRA checkpoint would silently lose both its LoRA
+        # deltas AND its trained base q/k/v weights (the rank-0 tree has no
+        # slots for either)
+        from photoverse_tpu.ckpt.checkpoint import peek_lora_config
+
+        saved_lora = peek_lora_config(photoverse_path)
+        if saved_lora is not None:
+            use_lora = True
+            lora_rank = int(saved_lora.get("r", lora_rank))
+            lora_alpha = float(saved_lora.get("lora_alpha", lora_alpha))
+            lora_dropout = float(saved_lora.get("lora_dropout", lora_dropout))
     unet_cfg, vae_cfg, text_cfg = _configs_from_checkpoint(
         root, lora_rank if use_lora else 0, lora_alpha, lora_dropout,
     )
@@ -442,8 +456,15 @@ def load_models(
     params.unet = _merge_unet(params.unet, unet_sd, modules)
 
     vis_sd = _load_torch_state_dict(_find_weight_file(ie_path))
+    # strict like the others; a full-CLIPModel dump's text tower / projection
+    # heads are legitimately absent from a vision encoder, so they are ignored
     params.vision_encoder = as_jnp(
-        convert_clip_vision(vis_sd, num_layers=modules.vision_encoder.config.num_layers)
+        convert_strict(
+            convert_clip_vision, vis_sd,
+            ignore=("position_ids", "text_model", "text_projection",
+                    "visual_projection", "logit_scale"),
+            num_layers=modules.vision_encoder.config.num_layers,
+        )
     )
 
     lora_config = (
@@ -486,9 +507,18 @@ def _merge_unet(init_unet_params, unet_sd, modules: PhotoVerseModules):
             dk = _block_to_diffusers(block) + f".transformer_blocks.0.attn2.processor.{proj}.0.weight"
             if dk not in sd:
                 sd[dk] = np.asarray(leaf).T
+    from photoverse_tpu.convert.torch_to_jax import convert_strict
+
     cfg = modules.unet.config
-    converted = convert_unet(
-        sd,
+    # strict: a renamed/extra tensor in the UNet dump must fail loudly, not
+    # silently keep the random init (LoRA keys may be absent from the
+    # converter's output when the model was built without LoRA slots — they
+    # come in later through load_photoverse_checkpoint, never through the
+    # base SD checkpoint)
+    converted = convert_strict(
+        convert_unet, sd,
+        ignore=("position_ids", "num_batches_tracked", "lora_A", "lora_B",
+                "base_layer"),
         block_out_channels=cfg.block_out_channels,
         layers_per_block=cfg.layers_per_block,
     )

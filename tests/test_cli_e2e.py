@@ -298,6 +298,44 @@ def test_serve_cli_end_to_end(tmp_path):
         server.shutdown()
 
 
+def test_load_models_reinjects_lora_from_checkpoint(tmp_path):
+    """A LoRA-trained checkpoint loaded WITHOUT LoRA flags (the generate/
+    serve CLIs never pass any) must rebuild the model with the checkpoint's
+    saved lora_config and load the LoRA weights — reference
+    modeling_utils.py:16-18 semantics. Before the fix, the rank-0 tree
+    silently dropped both the LoRA deltas and the trained base q/k/v."""
+    from photoverse_tpu.ckpt.checkpoint import save_progress, save_progress_pt
+    from photoverse_tpu.models.assembly import load_models
+
+    root = _make_checkpoint(tmp_path)
+    kw = dict(
+        extra_num_tokens=4, image_encoder_layers_idx=(1, 2, 3, 4),
+    )
+    lora_cfg = {"r": 2, "lora_alpha": 1.0, "lora_dropout": 0.0,
+                "bias": "none",
+                "target_modules": ["attn2.to_k", "attn2.to_v", "attn2.to_q"]}
+    _, _, params, _ = load_models(root, use_lora=True, lora_rank=2, **kw)
+    # make the LoRA deltas distinguishable from a fresh init (lora_B is
+    # zero-initialized)
+    import jax.numpy as jnp
+
+    blk = "down_0_attn_0"
+    marked = np.full(params.unet[blk]["attn2"]["to_q"]["lora_B"].shape, 0.5,
+                     np.float32)
+    params.unet[blk]["attn2"]["to_q"]["lora_B"] = jnp.asarray(marked)
+    save_progress(str(tmp_path / "ck"), params, lora_config=lora_cfg)
+    save_progress_pt(str(tmp_path / "ck"), params, lora_config=lora_cfg)
+
+    for name in ("photoverse.msgpack", "photoverse.pt"):
+        _, _, loaded, got_cfg = load_models(
+            root, photoverse_path=str(tmp_path / "ck" / name), **kw
+        )
+        assert got_cfg is not None and int(got_cfg["r"]) == 2, name
+        q = loaded.unet[blk]["attn2"]["to_q"]
+        assert "lora_A" in q and "lora_B" in q, name
+        np.testing.assert_allclose(np.asarray(q["lora_B"]), marked, err_msg=name)
+
+
 def test_serve_dynamic_batching(tmp_path):
     """--dynamic_batching coalesces concurrent same-shape requests into ONE
     padded device batch (cli/serve.py worker thread) while preserving each
