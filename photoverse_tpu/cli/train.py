@@ -255,7 +255,11 @@ def main(argv=None):
             )
         face_loss_obj = load_face_loss(args.face_loss, args.face_model_weights)
         face_loss_fn = make_face_loss_fn(args.face_loss, loss=face_loss_obj)
-        face_solver = DPMSolverMultistep.create(modules.schedule, 10)
+        # the reference hardcodes 10 inner steps (train.py:530); the
+        # TrainConfig field is the single source of truth for that constant
+        face_solver = DPMSolverMultistep.create(
+            modules.schedule, TrainConfig.face_loss_timesteps
+        )
         # in-training identity metric at sample steps (train.py:569-573):
         # cosine similarity of real vs generated faces, maximize=False
         face_metric = jax.jit(

@@ -35,12 +35,22 @@ __all__ = ["CustomDataset", "CustomDatasetWithMasks", "collate_fn", "BatchLoader
 
 
 def _is_image(f: str) -> bool:
-    f = f.lower()
-    return any(ext in f for ext in ("jpg", "png", "jpeg"))
+    return f.lower().endswith((".jpg", ".jpeg", ".png"))
 
 
 def _numeric_sort(paths: List[str]) -> List[str]:
-    return sorted(paths, key=lambda x: int(os.path.basename(x).split(".")[0]))
+    """Numeric-stem order like the reference (CelebA-HQ files are 0..N.jpg,
+    custom.py:63-66); non-numeric stems sort lexicographically after the
+    numeric block instead of crashing dataset construction."""
+
+    def key(x):
+        stem = os.path.basename(x).split(".")[0]
+        try:
+            return (0, int(stem), "")
+        except ValueError:
+            return (1, 0, stem)
+
+    return sorted(paths, key=key)
 
 
 class CustomDataset:
@@ -233,25 +243,49 @@ class BatchLoader:
             + np.uint64(self.host_id) * np.uint64(0x9E3779B1)
         ) % np.uint64(2**32)
 
+        # producers stay within `window` batches of the consumer cursor so
+        # the in-order reorder buffer is bounded (a stalled worker cannot
+        # make the others fill host RAM with out-of-order batches), and all
+        # blocking waits are stop-aware so closing the generator early
+        # (max_train_steps break, SIGTERM) releases every worker thread
+        window = self.prefetch + self.num_workers
+        cursor = {"nxt": 0}
+        cv = threading.Condition()
+
+        def put_stop_aware(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer(worker_id: int):
             wrng = np.random.RandomState(worker_seeds[worker_id])
-            for b in range(worker_id, n_batches, self.num_workers):
-                if stop.is_set():
-                    return
-                idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
-                if self.host_slice is not None:
-                    idxs = idxs[self.host_slice]
-                if self._native_loader is not None:
-                    q.put((b, self._native_batch(idxs, wrng)))
-                else:
-                    q.put(
-                        (
-                            b,
-                            collate_fn(
-                                [self.dataset.example(int(i), wrng) for i in idxs]
-                            ),
+            try:
+                for b in range(worker_id, n_batches, self.num_workers):
+                    with cv:
+                        while (
+                            b >= cursor["nxt"] + window and not stop.is_set()
+                        ):
+                            cv.wait(timeout=0.1)
+                    if stop.is_set():
+                        return
+                    idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    if self.host_slice is not None:
+                        idxs = idxs[self.host_slice]
+                    if self._native_loader is not None:
+                        batch = self._native_batch(idxs, wrng)
+                    else:
+                        batch = collate_fn(
+                            [self.dataset.example(int(i), wrng) for i in idxs]
                         )
-                    )
+                    if not put_stop_aware((b, batch)):
+                        return
+            except BaseException as e:  # surface to the consumer — a dead
+                # producer must not leave the training loop blocked forever
+                put_stop_aware((-1, e))
 
         threads = [
             threading.Thread(target=producer, args=(w,), daemon=True)
@@ -265,13 +299,20 @@ class BatchLoader:
             received = 0
             while received < n_batches:
                 b, batch = q.get()
+                if b < 0:  # producer exception
+                    raise batch
                 pending[b] = batch
                 received += 1
                 while nxt in pending:
                     yield pending.pop(nxt)
                     nxt += 1
+                    with cv:
+                        cursor["nxt"] = nxt
+                        cv.notify_all()
             while nxt in pending:
                 yield pending.pop(nxt)
                 nxt += 1
         finally:
             stop.set()
+            with cv:
+                cv.notify_all()

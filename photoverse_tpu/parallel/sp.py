@@ -24,8 +24,10 @@ denoise scan carry to that sharding. XLA's SPMD partitioner then:
 Composes with data parallelism on a 2-D ("data", "model") mesh
 (parallel/tp.make_mesh_2d): batch over "data", height over "model".
 Unlike tensor parallelism there are NO parameter-divisibility
-constraints — params stay replicated; the latent height just needs to
-divide by the spatial axis (64 rows at 512px: any tp <= 64).
+constraints — params stay replicated; the spatial axis must divide the
+latent height AT THE DEEPEST PYRAMID LEVEL (SD-1.5 at 512px: 64 latent
+rows through 3 downsamples -> 8 rows at the bottom, so sp in {2,4,8};
+validate_sp enforces this).
 
 The Pallas fast paths (flash attention, fused block tails) are
 single-device custom calls — spatial sharding requires the jnp

@@ -32,10 +32,17 @@ class MetricsWriter:
         if report_to in ("wandb", "all"):
             try:
                 import wandb
-
-                self._wandb = wandb.init(project=project, config=config or {})
-            except Exception:
-                pass
+            except ImportError:
+                print("WARNING: --report_to wandb but the package is not "
+                      "installed; metrics go to metrics.jsonl only")
+            else:
+                try:
+                    self._wandb = wandb.init(project=project, config=config or {})
+                except Exception as e:
+                    # auth/network failures must not abort training, but the
+                    # user explicitly asked for wandb — say so loudly
+                    print(f"WARNING: wandb.init failed ({e}); continuing "
+                          "without wandb (metrics.jsonl still written)")
         if report_to in ("tensorboard", "all"):
             for mod in ("torch.utils.tensorboard", "tensorboardX"):
                 try:

@@ -370,3 +370,75 @@ def test_native_masked_batchloader(tmp_path):
             np.abs(b_nat["pixel_values_clip"] - b_py["pixel_values_clip"]).max()
             < 0.2
         )
+
+
+def test_batchloader_propagates_producer_errors(tmp_path):
+    """A corrupt image must raise in the consumer, not hang the training
+    loop forever on q.get() (the producer thread used to die silently)."""
+    from photoverse_tpu.data.dataset import BatchLoader, CustomDataset
+
+    tok = _tiny_tokenizer(tmp_path)
+    root = tmp_path / "data_bad"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+            root / "images" / f"{i}.jpg"
+        )
+    (root / "images" / "3.jpg").write_bytes(b"this is not a jpeg")
+    ds = CustomDataset(str(root), tok, size=32, clip_size=32)
+    with pytest.raises(Exception):
+        list(BatchLoader(ds, 2, shuffle=False, num_workers=2))
+
+
+def test_batchloader_early_close_releases_workers(tmp_path):
+    """Breaking out of iteration (max_train_steps / SIGTERM paths) must
+    release every producer thread — they used to block in q.put forever."""
+    import threading
+    import time as _time
+
+    from photoverse_tpu.data.dataset import BatchLoader, CustomDataset
+
+    tok = _tiny_tokenizer(tmp_path)
+    root = tmp_path / "data_close"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(16):
+        Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+            root / "images" / f"{i}.jpg"
+        )
+    ds = CustomDataset(str(root), tok, size=32, clip_size=32)
+    baseline = threading.active_count()
+    it = iter(BatchLoader(ds, 2, shuffle=False, num_workers=4, prefetch=1))
+    next(it)
+    it.close()  # generator close -> finally -> stop.set()
+    deadline = _time.monotonic() + 10
+    while threading.active_count() > baseline and _time.monotonic() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= baseline
+
+
+def test_dataset_ignores_non_image_files(tmp_path):
+    """Stray non-image files ('notes_jpg.txt', '5.jpg.bak') and non-numeric
+    stems must not crash dataset construction or reach the decoder."""
+    from photoverse_tpu.data.dataset import CustomDataset
+
+    tok = _tiny_tokenizer(tmp_path)
+    root = tmp_path / "data_mixed"
+    (root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(2):
+        Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+            root / "images" / f"{i}.jpg"
+        )
+    Image.fromarray((rng.rand(40, 40, 3) * 255).astype(np.uint8)).save(
+        root / "images" / "face_01.jpg"
+    )
+    (root / "images" / "notes_jpg.txt").write_text("not an image")
+    (root / "images" / "5.jpg.bak").write_bytes(b"backup")
+    ds = CustomDataset(str(root), tok, size=32, clip_size=32)
+    names = [__import__("os").path.basename(p) for p in ds.image_paths]
+    # numeric stems first (reference order), non-numeric after, junk excluded
+    assert names == ["0.jpg", "1.jpg", "face_01.jpg"]
+    for i in range(len(ds)):
+        ds[i]
