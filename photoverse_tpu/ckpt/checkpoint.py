@@ -106,15 +106,20 @@ def save_progress(
     name = f"photoverse_{step:06d}.msgpack" if step is not None else "photoverse.msgpack"
     path = os.path.join(output_dir, name)
     os.makedirs(output_dir, exist_ok=True)
-    # atomic write: a preemption mid-write must never leave a truncated
-    # checkpoint as the newest resume candidate
+    # atomic writes: a preemption mid-write must never leave a truncated
+    # checkpoint as the newest resume candidate. The .lora.json sidecar
+    # lands BEFORE the checkpoint file appears — the reverse order could
+    # leave a LoRA checkpoint without its sidecar, which loads as a
+    # rank-0 model that silently drops the LoRA weights (peek_lora_config)
+    if lora_config is not None:
+        side_tmp = path + ".lora.json.tmp"
+        with open(side_tmp, "w") as f:
+            json.dump(lora_config, f)
+        os.replace(side_tmp, path + ".lora.json")
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     os.replace(tmp, path)
-    if lora_config is not None:
-        with open(path + ".lora.json", "w") as f:
-            json.dump(lora_config, f)
     return path
 
 
@@ -388,9 +393,13 @@ class AsyncCheckpointer:
         self._check()
 
     def close(self):
-        self.wait()
-        self._q.put(None)
-        self._thread.join()
+        try:
+            self.wait()
+        finally:
+            # shut the worker down even when wait() re-raises a stored
+            # write error — close() must always be the flush point
+            self._q.put(None)
+            self._thread.join()
 
 
 def load_progress(
@@ -406,6 +415,13 @@ def load_progress(
         payload = serialization.msgpack_restore(f.read())
     trainable, frozen = partition_params(params)
     loaded = {tuple(k.split("/")): jnp.asarray(v) for k, v in payload["trainable"].items()}
+    missing = set(trainable) - set(loaded)
+    if missing:
+        # same clear diagnostic as _load_native — a config-mismatched resume
+        # (e.g. --lora_rank set but the checkpoint trained without LoRA)
+        # should not die in a bare KeyError
+        raise ValueError(f"checkpoint missing {len(missing)} trainable keys: "
+                         f"{sorted(missing)[:5]}...")
     params = combine_params({k: loaded[k] for k in trainable}, frozen)
     opt_state = None
     if opt_state_template is not None and "optimizer" in payload:

@@ -119,8 +119,12 @@ def _downsample_ip_mask(
     attention_processor.py:382-390)."""
     if ip_mask is None:
         return None
+    # bicubic like the reference: IPAdapterMaskProcessor.downsample calls
+    # F.interpolate(mode="bicubic"). jax "cubic" is the Keys kernel with
+    # a=-0.5 vs torch's a=-0.75 — the closest available method (bilinear
+    # visibly softened mask boundaries vs the reference)
     m = jax.image.resize(
-        ip_mask.astype(jnp.float32), (B, Hh, Ww), method="bilinear"
+        ip_mask.astype(jnp.float32), (B, Hh, Ww), method="cubic"
     )
     return m.reshape(B, Hh * Ww)
 
@@ -278,6 +282,8 @@ class DualCrossAttention(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
+    fusion_rule1: float = 1.0 / 3.0
+    fusion_rule2: float = 2.0 / 3.0
     train: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -336,6 +342,7 @@ class DualCrossAttention(nn.Module):
             fused, v_ip_norm = dual_context_attention(
                 q, k, v, k_ip, v_ip,
                 train=train, fusion_u=fusion_u, scale=self.fusion_scale,
+                rule1=self.fusion_rule1, rule2=self.fusion_rule2,
             )
         out = nn.Dense(C, name="to_out", dtype=self.dtype)(fused.reshape(B, S, C))
         return out, v_ip_norm
@@ -351,6 +358,8 @@ class TransformerBlock(nn.Module):
     lora_alpha: float = 1.0
     lora_dropout: float = 0.0
     fusion_scale: float = 2.0
+    fusion_rule1: float = 1.0 / 3.0
+    fusion_rule2: float = 2.0 / 3.0
     use_flash: bool = False
     fast_scores: bool = False
     train: bool = False
@@ -416,6 +425,8 @@ class TransformerBlock(nn.Module):
                 lora_alpha=self.lora_alpha,
                 lora_dropout=self.lora_dropout,
                 fusion_scale=self.fusion_scale,
+                fusion_rule1=self.fusion_rule1,
+                fusion_rule2=self.fusion_rule2,
                 train=self.train,
                 name="attn2",
                 dtype=self.dtype,
@@ -507,6 +518,12 @@ class UNet2DCondition(nn.Module):
 
         norm_dtype = self.dtype if cfg.fast_norms else jnp.float32
         fast_red = cfg.fast_norms and cfg.fast_norm_reductions
+        if cfg.remat_policy not in ("", "dots"):
+            # an unknown policy silently meaning "recompute everything"
+            # would read as an unexplained step-time regression
+            raise ValueError(
+                f"unknown remat_policy {cfg.remat_policy!r}; use '' or 'dots'"
+            )
         remat_kw = {}
         if cfg.remat and cfg.remat_policy == "dots":
             remat_kw = dict(
@@ -524,6 +541,8 @@ class UNet2DCondition(nn.Module):
             lora_alpha=cfg.lora_alpha,
             lora_dropout=cfg.lora_dropout,
             fusion_scale=cfg.fusion_scale,
+            fusion_rule1=cfg.fusion_rule1,
+            fusion_rule2=cfg.fusion_rule2,
             use_flash=cfg.use_flash_attention,
             fast_scores=cfg.fast_attention_scores,
             train=train,

@@ -103,6 +103,8 @@ def dual_context_attention(
     train: bool = False,
     fusion_u: Optional[jnp.ndarray] = None,
     scale: float = 2.0,
+    rule1: float = 1.0 / 3.0,
+    rule2: float = 2.0 / 3.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (fused (B,Sq,H,D), v_ip_norm (B,H,K)).
 
@@ -115,5 +117,8 @@ def dual_context_attention(
     v_ip_norm = jnp.sqrt(
         jnp.sum(jnp.square(v_id.astype(jnp.float32)), axis=-1)
     ).transpose(0, 2, 1)  # (B, H, K)
-    fused = fuse_outputs(text_out, id_out, train=train, fusion_u=fusion_u, scale=scale)
+    fused = fuse_outputs(
+        text_out, id_out, train=train, fusion_u=fusion_u, scale=scale,
+        rule1=rule1, rule2=rule2,
+    )
     return fused, v_ip_norm

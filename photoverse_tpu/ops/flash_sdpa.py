@@ -130,10 +130,7 @@ def flash_sdpa(
     while S % tk:
         tk -= 1
 
-    def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(BH, S, d)
-
-    qf, kf, vf = fold(q), fold(k), fold(v)
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
     out = pl.pallas_call(
         functools.partial(_kernel, tk=tk, fast=fast_scores),
         out_shape=jax.ShapeDtypeStruct((BH, S, d), q.dtype),
@@ -421,10 +418,7 @@ def flash_sdpa_stream(
     while S % tk:
         tk -= 1
 
-    def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(BH, S, d)
-
-    qf, kf, vf = fold(q), fold(k), fold(v)
+    qf, kf, vf = _fold(q), _fold(k), _fold(v)
     out = pl.pallas_call(
         functools.partial(_kernel_stream, fast=fast_scores),
         out_shape=jax.ShapeDtypeStruct((BH, S, d), q.dtype),

@@ -203,3 +203,25 @@ def test_ip_adapter_mask(pair):
     assert not np.allclose(np.asarray(out_ones), np.asarray(out_none))
     assert not np.allclose(np.asarray(out_zero), np.asarray(out_ones))
     assert np.all(np.isfinite(np.asarray(out_ones)))
+
+
+def test_fusion_rules_configurable():
+    """fusion_rule1/2 flow from the config into the stochastic fusion
+    branch thresholds (reference attention_processor.py:27-42 makes the
+    rules configurable; they were previously dead config)."""
+    import jax.numpy as jnp
+
+    from photoverse_tpu.ops.attention import fuse_outputs
+
+    text = jnp.ones((1, 2, 2, 4))
+    ident = jnp.full((1, 2, 2, 4), 3.0)
+    u = jnp.asarray(0.5)
+    # default rules: 1/3 < 0.5 < 2/3 -> sum
+    out = fuse_outputs(text, ident, train=True, fusion_u=u)
+    assert float(out[0, 0, 0, 0]) == 4.0
+    # rule1=0.9: u < rule1 -> scale * text only
+    out = fuse_outputs(text, ident, train=True, fusion_u=u, rule1=0.9, rule2=0.95)
+    assert float(out[0, 0, 0, 0]) == 2.0
+    # rule2=0.4: u > rule2 -> scale * identity only
+    out = fuse_outputs(text, ident, train=True, fusion_u=u, rule1=0.1, rule2=0.4)
+    assert float(out[0, 0, 0, 0]) == 6.0
