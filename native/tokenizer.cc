@@ -306,18 +306,16 @@ struct Tokenizer {
         ++i;
         continue;
       }
-      if (c == '_') {  // \w but not letter/digit: matches no branch; dropped
-        ++i;
-        continue;
-      }
-      // punctuation run [^\s\w]+ — NOTE: like the regex, the greedy run
-      // consumes ' and < too; special tokens / contractions are only
-      // recognized at scan-start positions (the alternation is tried once
-      // per position, so "!!'s" tokenizes as ["!!'", "s"], not ["!!", "'s"])
+      // punctuation run [^\s\p{L}\p{N}]+ — '_' is neither letter nor digit
+      // in CLIP's regex, so it belongs to this run (the Python port matches
+      // with (?:[^\s\w]|_)+). NOTE: like the regex, the greedy run consumes
+      // ' and < too; special tokens / contractions are only recognized at
+      // scan-start positions (the alternation is tried once per position,
+      // so "!!'s" tokenizes as ["!!'", "s"], not ["!!", "'s"])
       size_t j = i;
       while (j < text.size()) {
         unsigned char d = text[j];
-        if (std::isspace(d) || is_letterish(d) || std::isdigit(d) || d == '_')
+        if (d != '_' && (std::isspace(d) || is_letterish(d) || std::isdigit(d)))
           break;
         ++j;
       }
@@ -365,11 +363,7 @@ struct Tokenizer {
   }
 };
 
-}  // namespace
-
-extern "C" {
-
-Tokenizer* pvtok_create(const char* vocab_path, const char* merges_path) {
+Tokenizer* pvtok_create_impl(const char* vocab_path, const char* merges_path) {
   std::ifstream vf(vocab_path, std::ios::binary);
   if (!vf) return nullptr;
   std::stringstream vs;
@@ -386,9 +380,17 @@ Tokenizer* pvtok_create(const char* vocab_path, const char* merges_path) {
   }
   std::string line;
   int rank = 0;
+  bool first_line = true;
+  // transformers drops exactly the FIRST line (version header) and caps the
+  // merge count; merges whose first symbol is '#' are kept
+  constexpr int kMaxMerges = 49152 - 256 - 2;
   while (std::getline(mf, line)) {
     if (!line.empty() && line.back() == '\r') line.pop_back();
-    if (line.empty() || line[0] == '#') continue;
+    if (first_line) {
+      first_line = false;
+      continue;
+    }
+    if (line.empty() || rank >= kMaxMerges) continue;
     size_t sp = line.find(' ');
     if (sp == std::string::npos) continue;
     t->ranks[{line.substr(0, sp), line.substr(sp + 1)}] = rank++;
@@ -402,6 +404,22 @@ Tokenizer* pvtok_create(const char* vocab_path, const char* merges_path) {
   t->bos = b->second;
   t->eos = e->second;
   return t;
+}
+
+}  // namespace
+
+extern "C" {
+
+Tokenizer* pvtok_create(const char* vocab_path, const char* merges_path) {
+  // exceptions (e.g. std::stoi on a malformed \u escape in a corrupt
+  // vocab.json) must not cross the C ABI into ctypes — that would
+  // std::terminate the whole Python process instead of triggering the
+  // caller's NativeTokenizerUnavailable fallback
+  try {
+    return pvtok_create_impl(vocab_path, merges_path);
+  } catch (...) {
+    return nullptr;
+  }
 }
 
 void pvtok_destroy(Tokenizer* t) { delete t; }

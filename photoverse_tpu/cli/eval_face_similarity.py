@@ -62,13 +62,17 @@ def main(argv=None):
         raise SystemExit(f"no images in {args.results_dir}")
     # embed the input identity ONCE; each generated image embeds once
     ref_emb = sim.face_embedding(args.input_image)
-    scores = {}
-    for f in files:
-        gen_emb = sim.face_embedding(os.path.join(args.results_dir, f))
-        scores[f] = (
-            0.0 if ref_emb is None or gen_emb is None
-            else sim.cosine(ref_emb, gen_emb)
-        )
+    if ref_emb is None:
+        # every score is 0.0 by the reference's no-face rule — skip the
+        # per-image detector/embedder work that cannot change the output
+        print(f"WARNING: no face detected in {args.input_image}; "
+              "all scores are 0.0", file=sys.stderr)
+        scores = {f: 0.0 for f in files}
+    else:
+        scores = {}
+        for f in files:
+            gen_emb = sim.face_embedding(os.path.join(args.results_dir, f))
+            scores[f] = 0.0 if gen_emb is None else sim.cosine(ref_emb, gen_emb)
     mean = sum(scores.values()) / len(scores)
     if args.json:
         print(json.dumps({"scores": scores, "mean": mean,

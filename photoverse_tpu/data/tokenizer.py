@@ -56,15 +56,20 @@ def _get_pairs(word):
 
 # CLIP's regex uses unicode \p{L}/\p{N}; stdlib `re` lacks those, so match
 # letters/digits via str.isalpha/isdigit-compatible classes (ASCII prompts —
-# the reference's templates — tokenize identically).
+# the reference's templates — tokenize identically). '_' is NOT \p{L}/\p{N},
+# so it belongs to the punctuation run ([^\s\p{L}\p{N}]+) — but Python's \w
+# includes it, hence the explicit |_ alternative.
 _PAT = re.compile(
-    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|[0-9]|[^\s\w]+""",
+    r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[^\W\d_]+|\d|(?:[^\s\w]|_)+""",
     re.IGNORECASE | re.UNICODE,
 )
 
 
 def _basic_clean(text: str) -> str:
-    text = html.unescape(html.unescape(text))
+    # NO html.unescape: the reference environment has no ftfy, and
+    # transformers' CLIPTokenizer only unescapes on the ftfy branch — the
+    # ftfy-less path it actually takes does whitespace cleanup + lowercase
+    # only, so '&amp;' must tokenize as its literal characters
     return text.strip()
 
 
@@ -85,7 +90,11 @@ class CLIPTokenizer:
         self.decoder = {v: k for k, v in vocab.items()}
         self.byte_encoder = _bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
-        merges = [tuple(m.split()) for m in merges if m and not m.startswith("#")]
+        # only a leading version header is dropped — transformers keeps every
+        # other line, including merges whose first symbol is '#'
+        if merges and merges[0].startswith("#version"):
+            merges = merges[1:]
+        merges = [tuple(m.split()) for m in merges if m]
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {bos_token: bos_token, eos_token: eos_token}
         self.model_max_length = model_max_length
@@ -104,13 +113,13 @@ class CLIPTokenizer:
         merges_path = os.path.join(d, "merges.txt")
         if os.path.exists(merges_path):
             with open(merges_path, encoding="utf-8") as f:
-                merges = f.read().split("\n")
+                raw = f.read()
         else:
             with gzip.open(os.path.join(d, "merges.txt.gz"), "rt", encoding="utf-8") as f:
-                merges = f.read().split("\n")
-        # first line of the merges file is a version header
-        if merges and merges[0].startswith("#"):
-            merges = merges[1:]
+                raw = f.read()
+        # transformers: drop exactly the first line (version header) and cap
+        # the merge count (tokenization_clip.py merges slice)
+        merges = raw.strip().split("\n")[1 : 49152 - 256 - 2 + 1]
         max_len = 77
         cfg_path = os.path.join(d, "tokenizer_config.json")
         if os.path.exists(cfg_path):
@@ -186,6 +195,13 @@ class CLIPTokenizer:
             ids = self.encode_text(t)
             if truncation:
                 ids = ids[: L - 2]
+            elif len(ids) > L - 2:
+                # clipping here would silently drop the EOS token (CLIP
+                # pooling locates it); refuse loudly like transformers warns
+                raise ValueError(
+                    f"input of {len(ids)} tokens exceeds max_length={L} "
+                    "with truncation=False"
+                )
             row = [self.bos_token_id] + ids + [self.eos_token_id]
             row = row + [self.pad_token_id] * (L - len(row))
             rows.append(row[:L])

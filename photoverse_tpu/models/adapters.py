@@ -43,8 +43,12 @@ class _StackedMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # x: (K, ..., in_dim) -> (K, ..., out_dim)
+    def __call__(self, x: jnp.ndarray, index: Optional[int] = None) -> jnp.ndarray:
+        # x: (K', ..., in_dim) -> (K', ..., out_dim). Parameters always carry
+        # the full K axis; `index` slices the weight stacks to one token-MLP
+        # (the inference path computes 1/K of the FLOPs instead of computing
+        # all K stacks and discarding K-1 — the reference evaluates only
+        # mapping_{i}, adapters.py:32-37). x must be pre-sliced to match.
         K = self.num_tokens
 
         def dense(name, d_in, d_out, h):
@@ -55,19 +59,27 @@ class _StackedMLP(nn.Module):
                 jnp.float32,
             )
             b = self.param(name + "_b", nn.initializers.zeros, (K, d_out), jnp.float32)
+            if index is not None:
+                w = w[index : index + 1]
+                b = b[index : index + 1]
             y = jnp.einsum(
                 "k...i,kio->k...o", h, w.astype(self.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(self.dtype)
-            return y + b.astype(self.dtype).reshape((K,) + (1,) * (y.ndim - 2) + (d_out,))
+            return y + b.astype(self.dtype).reshape(
+                (w.shape[0],) + (1,) * (y.ndim - 2) + (d_out,)
+            )
 
         def layernorm(name, h):
             g = self.param(name + "_g", nn.initializers.ones, (K, h.shape[-1]), jnp.float32)
             bta = self.param(name + "_b", nn.initializers.zeros, (K, h.shape[-1]), jnp.float32)
+            if index is not None:
+                g = g[index : index + 1]
+                bta = bta[index : index + 1]
             mu = jnp.mean(h.astype(jnp.float32), axis=-1, keepdims=True)
             var = jnp.var(h.astype(jnp.float32), axis=-1, keepdims=True)
             nrm = (h.astype(jnp.float32) - mu) * jax.lax.rsqrt(var + 1e-5)
-            shape = (K,) + (1,) * (h.ndim - 2) + (h.shape[-1],)
+            shape = (h.shape[0],) + (1,) * (h.ndim - 2) + (h.shape[-1],)
             out = nrm * g.reshape(shape) + bta.reshape(shape)
             return out.astype(self.dtype)
 
@@ -100,8 +112,16 @@ class PhotoVerseAdapter(nn.Module):
             raise ValueError(
                 f"expected {self.num_tokens} feature sets, got {embs.shape[0]}"
             )
+        idx = None
+        if token_index is not None and token_index != "full":
+            idx = int(token_index)
         cls_tok = embs[:, :, :1, :]  # (K, B, 1, D)
         patches = embs[:, :, 1:, :]  # (K, B, S-1, D)
+        if idx is not None:
+            # inference path: evaluate ONLY token-MLP idx (weight stacks are
+            # sliced inside _StackedMLP) — 1/K of the training-path FLOPs
+            cls_tok = cls_tok[idx : idx + 1]
+            patches = patches[idx : idx + 1]
 
         cls_out = _StackedMLP(
             num_tokens=self.num_tokens,
@@ -109,18 +129,14 @@ class PhotoVerseAdapter(nn.Module):
             out_dim=self.cross_attention_dim,
             dtype=self.dtype,
             name="mapping",
-        )(cls_tok)  # (K, B, 1, 768)
+        )(cls_tok, index=idx)  # (K', B, 1, 768)
         patch_out = _StackedMLP(
             num_tokens=self.num_tokens,
             in_dim=self.clip_embedding_dim,
             out_dim=self.cross_attention_dim,
             dtype=self.dtype,
             name="mapping_patch",
-        )(patches).mean(axis=2, keepdims=True)  # (K, B, 1, 768)
+        )(patches, index=idx).mean(axis=2, keepdims=True)  # (K', B, 1, 768)
 
-        tokens = (cls_out + patch_out)[:, :, 0, :]  # (K, B, 768)
-        tokens = jnp.transpose(tokens, (1, 0, 2))  # (B, K, 768)
-        if token_index is not None and token_index != "full":
-            i = int(token_index)
-            return tokens[:, i : i + 1, :]
-        return tokens
+        tokens = (cls_out + patch_out)[:, :, 0, :]  # (K', B, 768)
+        return jnp.transpose(tokens, (1, 0, 2))  # (B, K', 768)

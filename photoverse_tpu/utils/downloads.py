@@ -21,7 +21,8 @@ __all__ = [
     "download_hf_file",
 ]
 
-ARCFACE_RESNET18_GDRIVE_ID = "1pFk0FTHIIS_1ScF1ziNer3TX2BbNEWNc"
+# the reference's published weight file (arcface_utils.py:159)
+ARCFACE_RESNET18_GDRIVE_ID = "1Oled0dzlDhtuTc0kShExuvAaB0grmIA_"
 
 
 def download_gdrive_file(file_id: str, dest_path: str, quiet: bool = False) -> str:

@@ -87,7 +87,17 @@ def test_tokenizer_parity_with_transformers(tmp_path):
     except Exception:
         pytest.skip("transformers CLIPTokenizer unavailable")
     ours = CLIPTokenizer.from_pretrained(str(tmp_path))
-    for text in ["the photo of a cat", "photo photo", "of the a b c"]:
+    for text in [
+        "the photo of a cat",
+        "photo photo",
+        "of the a b c",
+        # '_' is punctuation in CLIP's regex ([^\s\p{L}\p{N}]+), not \w
+        "a_b photo",
+        # no html.unescape without ftfy (the reference's environment):
+        # '&amp;' must stay its literal characters
+        "&amp; photo",
+        "photo!!' of",
+    ]:
         want = hf(text, padding="max_length", truncation=True, max_length=16)[
             "input_ids"
         ]
