@@ -91,7 +91,11 @@ def main():
     for i in range(WARMUP_ITERS):
         jax.block_until_ready(jgen(params, jax.random.PRNGKey(2 + i)))
 
-    n_chips = jax.device_count()
+    # the pipeline is an unsharded jax.jit — it executes on ONE device, so
+    # per-chip throughput divides by 1 regardless of how many chips are
+    # attached (dividing by device_count() would underreport on multi-chip
+    # hosts; DP scaling is measured via generate --data_parallel instead)
+    n_chips = 1
     trials = []
     for i in range(TRIALS):
         t0 = time.perf_counter()

@@ -120,13 +120,14 @@ def jax_outputs(
     inputs = make_inputs()
     out: Dict[str, np.ndarray] = {}
 
+    # tokenizer(str) already returns batched (1, 77) ids — no extra axis
     ids = jnp.asarray(
         tokenizer(
             PROMPT, padding="max_length", truncation=True,
             max_length=tokenizer.model_max_length,
         ),
         jnp.int32,
-    )[None]
+    )
     text_hidden = None
     if "text" in families or "unet" in families:
         text_hidden, pooled = modules.text_encoder.apply(

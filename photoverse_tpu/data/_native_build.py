@@ -33,16 +33,30 @@ def build_native_lib(
     src = os.path.join(NATIVE_DIR, src_name)
     so = os.path.join(BUILD_DIR, so_name)
     os.makedirs(BUILD_DIR, exist_ok=True)
+    if not os.path.exists(src):
+        # deployed without the native/ source tree: a prebuilt .so is fine
+        # as-is; neither present must surface as NativeBuildError so callers
+        # convert it to their Unavailable exception and fall back
+        if os.path.exists(so):
+            return so
+        raise NativeBuildError(f"native source {src} not found")
     if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
         return so
+    # compile to a process-unique name and rename into place: concurrent
+    # builders (multi-host workers, pytest-xdist) must never dlopen a
+    # half-written library
+    tmp_so = f"{so}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-funroll-loops",
-        "-shared", "-fPIC", "-std=c++17", src, "-o", so,
+        "-shared", "-fPIC", "-std=c++17", src, "-o", tmp_so,
         *extra_flags, "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, text=True)
-    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        os.replace(tmp_so, so)
+    except (subprocess.CalledProcessError, FileNotFoundError, OSError) as e:
         msg = getattr(e, "stderr", str(e))
+        if os.path.exists(tmp_so):
+            os.unlink(tmp_so)
         raise NativeBuildError(f"native build of {src_name} failed: {msg}") from e
     return so

@@ -62,6 +62,7 @@ class NativeLoader:
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
         self._lib = lib
+        self.requested_threads = num_threads
         self.num_threads = num_threads or (os.cpu_count() or 4)
 
     def load_batch(
@@ -121,8 +122,10 @@ class NativeLoader:
 
 
 def get_loader(num_threads: int = 0) -> NativeLoader:
+    """Cached per thread count — a warmup call with the default must not pin
+    a later --dataloader_num_workers choice to the first value seen."""
     global _cached
     with _lock:
-        if _cached is None:
+        if _cached is None or _cached.requested_threads != num_threads:
             _cached = NativeLoader(num_threads)
         return _cached

@@ -2,11 +2,12 @@
 
 Same encode contract as photoverse_tpu.data.tokenizer.CLIPTokenizer
 (__call__ -> (B, max_len) int32, BOS + ids + EOS, EOS padding). Builds the
-shared library on first use; texts the C++ approximation does not cover
-exactly (HTML entities, which the Python tokenizer html-unescapes, and any
-non-ASCII text — Unicode lowercasing / letter classes) fall back to the
-Python implementation per text, so outputs always match the reference
-tokenizer.
+shared library on first use; non-ASCII texts (Unicode lowercasing / letter
+classes the byte-oriented C++ scanner approximates) fall back to the Python
+implementation per text, so outputs always match the reference tokenizer.
+ASCII — including '&' and HTML-entity-looking text, which both paths treat
+as literal punctuation (no unescape; the reference env has no ftfy) — runs
+fully native.
 """
 
 from __future__ import annotations
@@ -105,8 +106,14 @@ class NativeCLIPTokenizer:
         if isinstance(text, str):
             text = [text]
         L = max_length or self.model_max_length
-        # the C++ path covers ASCII exactly; entities and non-ASCII fall back
-        native_ok = lambda t: "&" not in t and t.isascii()
+        if not truncation:
+            # keep the Python tokenizer's loud over-long contract (the C++
+            # encoder always truncates); cheap length check via Python BPE
+            for t in text:
+                self._py([t], truncation=False, max_length=L)
+        # the C++ path covers ASCII exactly (incl. '&': no unescape on
+        # either path); non-ASCII falls back to Python
+        native_ok = lambda t: t.isascii()
         native_idx = [i for i, t in enumerate(text) if native_ok(t)]
         out = np.empty((len(text), L), np.int32)
         if native_idx:
@@ -119,7 +126,7 @@ class NativeCLIPTokenizer:
                 buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), L,
             )
             out[native_idx] = buf
-        # entities / non-ASCII: the Python path handles them exactly
+        # non-ASCII: the Python path handles Unicode classes exactly
         for i, t in enumerate(text):
             if not native_ok(t):
                 out[i] = self._py([t], max_length=L)[0]

@@ -25,7 +25,8 @@ PROMPTS = [
     "photo, of. the! *?",  # punctuation runs
     "photo 1 2 34 of",  # digits split individually
     "photo's of the *",  # contraction
-    "photo_of the *",  # underscore dropped by the CLIP regex
+    "photo_of the *",  # underscore = punctuation in the CLIP regex
+    "photo ## of _*_",  # '#' runs and mixed underscore/punct runs
     "  photo of the *  ",  # strip
     "<|startoftext|> photo <|endoftext|>",  # special tokens
     "",

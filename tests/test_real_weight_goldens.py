@@ -59,3 +59,18 @@ def test_real_weight_parity():
         if not cmp.get("ok") or cmp["max_rel"] > tol:
             failures.append((key, cmp))
     assert not failures, f"real-weight parity failures: {failures}"
+
+
+def test_jax_outputs_protocol_smoke(tmp_path):
+    """The JAX side of the real-weight protocol must RUN (it is otherwise
+    exercised only on a networked machine with real weights — a shape bug
+    here once made every verify_real_weights run report 'jax side failed')."""
+    from photoverse_tpu.convert.real_goldens import jax_outputs
+    from tests.test_cli_e2e import _make_checkpoint
+
+    root = _make_checkpoint(tmp_path)
+    out = jax_outputs(root, families=("text", "vae", "unet"))
+    assert out["text_hidden"].shape[0] == 1
+    assert out["text_pooled"].shape[0] == 1
+    assert out["vae_decode"].shape[0] == 1
+    assert out["unet_eps"].shape == (1, 32, 32, 4)
