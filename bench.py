@@ -43,7 +43,8 @@ A100_OPTIMIZED_DIFFUSERS_IMGS_PER_SEC = 1.0  # conservative comparison
 BATCH = 16  # conv MXU utilization needs batch >= 16 (PERFORMANCE.md)
 STEPS = 50
 GUIDANCE = 1.0  # reference default (generate.py:25, README.md:79)
-WARMUP_ITERS = 1
+WARMUP_ITERS = 2  # 2: the first post-compile dispatch occasionally eats a
+# tunnel hiccup that would land in trial 1 and inflate the spread stat
 TRIALS = 5  # median-of-N; each trial varies the PRNGKey (relay cache)
 
 
@@ -89,7 +90,9 @@ def main():
     jax.block_until_ready(out)
     note(f"pipeline compiled+first run in {_t.perf_counter() - t_c:.1f}s")
     for i in range(WARMUP_ITERS):
-        jax.block_until_ready(jgen(params, jax.random.PRNGKey(2 + i)))
+        # fetch a value like the timed trials so warmup really drains the
+        # pipeline (block_until_ready is ACK-only through the tunnel)
+        float(jnp.sum(jgen(params, jax.random.PRNGKey(2 + i))[0]))
 
     # the pipeline is an unsharded jax.jit — it executes on ONE device, so
     # per-chip throughput divides by 1 regardless of how many chips are
