@@ -465,6 +465,86 @@ def test_serve_dynamic_batching(tmp_path):
             s.shutdown()
 
 
+def test_serve_dynamic_batching_stress(tmp_path):
+    """Concurrency regression: a burst of mixed requests (different seeds,
+    num_samples, and step counts) through the threaded frontend + worker
+    must all succeed, coalesce only within matching shapes, and account for
+    every row in /healthz."""
+    import base64
+    import json as _json
+    import threading
+    import urllib.request
+
+    from http.server import ThreadingHTTPServer
+
+    from photoverse_tpu.cli.serve import PhotoVerseService, build_parser, make_handler
+
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+    img_b64 = base64.b64encode(face.read_bytes()).decode()
+
+    service = PhotoVerseService(build_parser().parse_args([
+        "--model_path", root, "--resolution", "32", "--default_steps", "2",
+        "--encoder_layers_idx", "1", "2", "3", "4", "--port", "0",
+        "--dynamic_batching", "--max_batch", "4", "--batch_wait_ms", "30",
+    ]))
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(service))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    N = 18
+    results, errors = [], []
+    lock = threading.Lock()
+
+    def fire(i):
+        body = _json.dumps({
+            "image_b64": img_b64, "steps": 2 if i % 3 else 3,
+            "seed": i, "num_samples": 1 + (i % 2),
+        }).encode()
+        try:
+            r = urllib.request.urlopen(
+                urllib.request.Request(
+                    f"http://127.0.0.1:{port}/generate", data=body,
+                    headers={"Content-Type": "application/json"},
+                ),
+                timeout=600,
+            )
+            with lock:
+                results.append(_json.loads(r.read()))
+        except Exception as e:  # pragma: no cover - failure detail
+            with lock:
+                errors.append((i, str(e)))
+
+    try:
+        threads = []
+        for w in range(6):
+            def worker(w=w):
+                for i in range(w, N, 6):
+                    fire(i)
+
+            t = threading.Thread(target=worker)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+
+        assert not errors, errors[:3]
+        assert len(results) == N
+        total_imgs = sum(len(r["images_b64"]) for r in results)
+        assert total_imgs == sum(1 + (i % 2) for i in range(N))
+        health = _json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz").read()
+        )
+        assert health["stats"]["requests"] == N
+        assert health["stats"]["rows"] == total_imgs
+        assert health["stats"]["rejected"] == 0
+        assert service.drain(timeout_s=30) is True
+    finally:
+        server.shutdown()
+
+
 def test_generate_cli_data_parallel_matches_single_device(tmp_path):
     """--data_parallel shards the sample batch over the 8 virtual CPU
     devices (with padding: 3 samples over 8 devices) and must produce the
