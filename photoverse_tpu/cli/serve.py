@@ -20,6 +20,18 @@ Two execution modes:
                      (run_inference(initial_noise=...)), so the images it
                      gets do not depend on which batch it landed in.
 
+Two device-utilization details (both exact, both modes):
+  * the serving pipelines denormalize and pack images to uint8 ON DEVICE
+    (same clip/scale/round arithmetic as utils.image to_pil(denormalize)),
+    so the host fetch moves 4x fewer bytes through the TPU tunnel;
+  * under --dynamic_batching the worker DISPATCHES a batch (JAX async
+    dispatch) and hands the in-flight device array to a completion thread
+    that does the blocking fetch — so batch N's result fetch and batch
+    N+1's host assembly/upload overlap batch N/N+1's device compute
+    instead of idling the device between batches (double buffering).
+    A request's reported latency_s spans dispatch->fetch-complete, so it
+    includes any time spent queued behind the previous in-flight batch.
+
   POST /generate
     {"image_b64": <base64 jpg/png> | "image_path": <server-local path>,
      "prompt": "a photo of a {}", "negative_prompt": null,
@@ -184,18 +196,30 @@ class PhotoVerseService:
         self._state_lock = threading.Lock()
 
         # dynamic batching: handler threads enqueue, ONE worker thread owns
-        # the device (JAX dispatch stays single-consumer)
+        # device dispatch (JAX dispatch stays single-consumer), ONE
+        # completion thread does the blocking result fetches so the device
+        # pipeline stays fed (double buffering; see module docstring)
         self._queue: deque[_Pending] | None = None
         self._qcond = threading.Condition()
-        self._busy = False  # worker currently owns a popped group
+        self._active = 0  # groups popped from the queue, not yet delivered
+        self._inflight = deque()  # dispatched groups awaiting their fetch
+        self._inflight_cond = threading.Condition()
+        # 1 queued in-flight entry + 1 at the completion thread + 1 being
+        # assembled at the worker = up to 3 batches dispatched ahead of the
+        # oldest unfinished fetch — enough to hide fetch/assembly without
+        # letting queued-behind-the-pipeline latency grow unboundedly
+        self._max_inflight = 1
         self._stats = {"requests": 0, "batches": 0, "rows": 0,
                        "padded_rows": 0, "rejected": 0}
         if args.dynamic_batching:
             self._queue = deque()
-            worker = threading.Thread(
+            threading.Thread(
                 target=self._worker_loop, name="photoverse-batcher", daemon=True
-            )
-            worker.start()
+            ).start()
+            threading.Thread(
+                target=self._completion_loop, name="photoverse-fetcher",
+                daemon=True,
+            ).start()
 
         # multi-chip single-request serving: one (1, n_dev) mesh, the whole
         # model axis works on every request (tests/test_tp.py proves both
@@ -251,7 +275,7 @@ class PhotoVerseService:
                 # initial noise is an argument (not rng-drawn inside) so
                 # coalesced requests keep per-request seeds; the rng below
                 # only feeds the unused image-noising branch
-                return run_inference(
+                img = run_inference(
                     self.modules, params, solver, example,
                     self.jax.random.PRNGKey(0),
                     guidance_scale=guidance, token_index=0,
@@ -259,6 +283,13 @@ class PhotoVerseService:
                     initial_noise=noise,
                     latent_sharding=self.lat_sh,
                 )
+                # denormalize + pack to uint8 ON DEVICE — the exact
+                # arithmetic of utils.image to_pil(denormalize(x)):
+                # round(clip(x/2+0.5, 0, 1) * 255) — so the host fetch
+                # ships 1 byte/px instead of 4 through the TPU tunnel
+                jnp = self.jnp
+                u = jnp.clip(img.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+                return jnp.round(u * 255.0).astype(jnp.uint8)
 
             if self.param_sh is not None:
                 pipe = jax.jit(gen, in_shardings=(self.param_sh, None, None))
@@ -396,7 +427,7 @@ class PhotoVerseService:
                 while not self._queue:
                     self._qcond.wait()
                 first = self._queue.popleft()
-                self._busy = True
+                self._active += 1
             group = [first]
             rows = first.n
             # the wait window opens when the request ARRIVED, not when the
@@ -422,14 +453,60 @@ class PhotoVerseService:
                 group.append(take)
                 rows += take.n
             try:
-                self._run_group(group, rows)
+                entry = self._dispatch_group(group, rows)
             except Exception as e:  # deliver the failure to every waiter
                 for g in group:
                     g.error = e
                     g.event.set()
+                with self._qcond:
+                    self._active -= 1
+                    self._qcond.notify_all()
+                continue
+            # hand the in-flight device array to the completion thread and
+            # immediately coalesce/assemble the next batch; bounded so a
+            # slow fetch applies backpressure instead of queueing device
+            # work unboundedly
+            with self._inflight_cond:
+                while len(self._inflight) > self._max_inflight:
+                    self._inflight_cond.wait()
+                self._inflight.append(entry)
+                self._inflight_cond.notify_all()
+
+    def _completion_loop(self):
+        """Blocking device->host fetches, decoupled from dispatch: while
+        this thread waits on batch N's bytes, the worker thread has already
+        dispatched batch N+1 (JAX async dispatch), so the device never
+        idles between batches."""
+        import numpy as np
+
+        while True:
+            with self._inflight_cond:
+                while not self._inflight:
+                    self._inflight_cond.wait()
+                group, rows, bucket, dev_images, t0 = self._inflight.popleft()
+                self._inflight_cond.notify_all()
+            try:
+                images = np.asarray(dev_images)  # blocks until on host
+            except Exception as e:  # async runtime failure surfaces here
+                for g in group:
+                    g.error = e
+                    g.event.set()
+            else:
+                latency = time.perf_counter() - t0
+                with self._state_lock:
+                    self._stats["batches"] += 1
+                    self._stats["rows"] += rows
+                    self._stats["padded_rows"] += bucket - rows
+                off = 0
+                for g in group:
+                    g.images = images[off:off + g.n]
+                    g.latency_s = latency
+                    g.batch_rows = rows
+                    off += g.n
+                    g.event.set()
             finally:
                 with self._qcond:
-                    self._busy = False
+                    self._active -= 1
                     self._qcond.notify_all()
 
     def drain(self, timeout_s: float = 600.0) -> bool:
@@ -440,14 +517,17 @@ class PhotoVerseService:
             return True
         deadline = time.monotonic() + timeout_s
         with self._qcond:
-            while self._queue or self._busy:
+            while self._queue or self._active:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     return False
                 self._qcond.wait(timeout=min(remaining, 1.0))
         return True
 
-    def _run_group(self, group, rows: int):
+    def _dispatch_group(self, group, rows: int):
+        """Assemble + upload + dispatch one coalesced batch; returns the
+        in-flight entry for the completion thread (the device array is a
+        future under JAX async dispatch — nothing here blocks on compute)."""
         import numpy as np
 
         jnp = self.jnp
@@ -475,27 +555,14 @@ class PhotoVerseService:
         images = self._pipeline(bucket, steps, guidance, scheduler)(
             self.params, batch, noise
         )
-        images = np.asarray(images)
-        latency = time.perf_counter() - t0
-
-        with self._state_lock:
-            self._stats["batches"] += 1
-            self._stats["rows"] += rows
-            self._stats["padded_rows"] += bucket - rows
-        off = 0
-        for g in group:
-            g.images = images[off:off + g.n]
-            g.latency_s = latency
-            g.batch_rows = rows
-            off += g.n
-            g.event.set()
+        return (group, rows, bucket, images, t0)
 
     # ------------------------------------------------------------------
 
     def generate(self, req: dict) -> dict:
         import numpy as np
 
-        from photoverse_tpu.utils.image import denormalize, to_pil
+        from PIL import Image
 
         with self._state_lock:
             self._stats["requests"] += 1
@@ -544,9 +611,9 @@ class PhotoVerseService:
             batch_rows = n
 
         out = []
-        for img in images:
+        for img in images:  # already uint8 — packed on device (see _pipeline)
             buf = io.BytesIO()
-            to_pil(denormalize(img)).save(buf, format="PNG")
+            Image.fromarray(np.asarray(img)).save(buf, format="PNG")
             out.append(base64.b64encode(buf.getvalue()).decode())
         return {
             "images_b64": out,
