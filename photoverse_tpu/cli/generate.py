@@ -97,13 +97,20 @@ def preprocess_image_for_inference(
     `template` may be one template string (reference behavior) or a list of
     templates — then the batch is the templates x num_of_samples over the
     single identity photo, all denoised in one CFG call (BASELINE config 2:
-    8 prompts x 1 identity)."""
+    8 prompts x 1 identity).
+
+    `image_path` may also be an already-decoded PIL.Image (the serving path
+    receives images in request bodies — no temp-file round trip needed)."""
     from PIL import Image
 
     from photoverse_tpu.data.preprocessing import clip_preprocess, preprocess_image
     from photoverse_tpu.data.prompts import prepare_prompt
 
-    raw = Image.open(image_path)
+    raw = (
+        image_path
+        if isinstance(image_path, Image.Image)
+        else Image.open(image_path)
+    )
     if raw.mode != "RGB":
         raw = raw.convert("RGB")
     templates = [template] if isinstance(template, str) else list(template)

@@ -366,40 +366,26 @@ class PhotoVerseService:
         if "{}" not in prompt:
             prompt = prompt + " {}" if prompt else "a photo of a {}"
 
-        tmp_path = None
         if "image_b64" in req:
-            img = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
-            tmp = io.BytesIO()
-            img.convert("RGB").save(tmp, format="PNG")
-            import os
-            import tempfile
-
-            with tempfile.NamedTemporaryFile(suffix=".png", delete=False) as f:
-                f.write(tmp.getvalue())
-                tmp_path = path = f.name
+            # decode in memory — no temp-file/PNG re-encode round trip per
+            # request (preprocess accepts a PIL image directly)
+            path = Image.open(io.BytesIO(base64.b64decode(req["image_b64"])))
+            path.load()
         else:
             path = req["image_path"]
 
-        try:
-            example = preprocess_image_for_inference(
-                path, self.tokenizer, template=prompt,
-                negative_prompt=req.get("negative_prompt"),
-                num_of_samples=n,
-                size=self.args.resolution, clip_size=self.clip_size,
+        example = preprocess_image_for_inference(
+            path, self.tokenizer, template=prompt,
+            negative_prompt=req.get("negative_prompt"),
+            num_of_samples=n,
+            size=self.args.resolution, clip_size=self.clip_size,
+        )
+        if example.get("negative_text_input_ids") is None:
+            # per-row negatives make mixed batches coalescible:
+            # rows without an explicit negative use the empty prompt
+            example["negative_text_input_ids"] = np.asarray(
+                self.tokenizer([""] * n)
             )
-            if example.get("negative_text_input_ids") is None:
-                # per-row negatives make mixed batches coalescible:
-                # rows without an explicit negative use the empty prompt
-                example["negative_text_input_ids"] = np.asarray(
-                    self.tokenizer([""] * n)
-                )
-        finally:
-            # request-scoped temp PNG: unlink so a long-running server
-            # doesn't leak one file per /generate call
-            if tmp_path is not None:
-                import os
-
-                os.unlink(tmp_path)
 
         ex = {}
         for k in self._EXAMPLE_KEYS:
