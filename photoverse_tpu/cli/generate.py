@@ -77,10 +77,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = all local devices; the rest of the devices "
                         "form the data axis)")
     p.add_argument("--scheduler", type=str, default="dpm",
-                   choices=["dpm", "ddim"],
+                   choices=["dpm", "ddim", "euler", "euler_a",
+                            "dpm_karras", "euler_karras", "euler_a_karras"],
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
                         "ddim: DDIM eta=0 (BASELINE.json's 50-step-DDIM "
-                        "metric wording)")
+                        "metric wording); euler / euler_a: (ancestral) "
+                        "Euler discrete; *_karras: same sampler on the "
+                        "Karras rho-7 sigma grid (diffusers "
+                        "use_karras_sigmas=True)")
+    p.add_argument("--karras_sigmas", action="store_true",
+                   help="Karras rho-7 sigma grid for the chosen scheduler "
+                        "(equivalent to the *_karras scheduler names; "
+                        "invalid with ddim)")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend (the TPU plugin ignores "
                         "JAX_PLATFORMS alone)")
@@ -162,7 +170,7 @@ def main(argv=None):
 
         force_cpu()
 
-    from photoverse_tpu.core.schedulers import DPMSolverMultistep
+    from photoverse_tpu.core.schedulers import make_solver
     from photoverse_tpu.engine.inference import run_inference
     from photoverse_tpu.models.assembly import load_models
     from photoverse_tpu.utils.image import denormalize, to_pil
@@ -197,10 +205,9 @@ def main(argv=None):
         int8_conditioning=args.int8_conditioning,
         tp_friendly_ffn=sharding_mode == "tensor",
     )
-    solver = (
-        DPMSolverMultistep.create_ddim(modules.schedule, args.num_timesteps)
-        if args.scheduler == "ddim"
-        else DPMSolverMultistep.create(modules.schedule, args.num_timesteps)
+    solver = make_solver(
+        modules.schedule, args.scheduler, args.num_timesteps,
+        use_karras_sigmas=args.karras_sigmas,
     )
 
     # latent size follows the VAE's downsampling depth; the CLIP branch

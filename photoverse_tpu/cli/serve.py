@@ -36,7 +36,8 @@ Two device-utilization details (both exact, both modes):
     {"image_b64": <base64 jpg/png> | "image_path": <server-local path>,
      "prompt": "a photo of a {}", "negative_prompt": null,
      "num_samples": 1, "steps": 25, "guidance_scale": 6.0, "seed": null,
-     "scheduler": "dpm" | "ddim"}
+     "scheduler": "dpm" | "ddim" | "euler" | "euler_a" (+ "_karras"
+                  suffix for the Karras sigma grid, e.g. "dpm_karras")}
   -> {"images_b64": [<base64 png>, ...], "latency_s": ..., "seed": ...,
       "batch_rows": <rows in the device batch that served this request>}
 
@@ -258,23 +259,22 @@ class PhotoVerseService:
                   scheduler: str = "dpm"):
         import jax
 
-        from photoverse_tpu.core.schedulers import DPMSolverMultistep
+        from photoverse_tpu.core.schedulers import make_solver
         from photoverse_tpu.engine.inference import run_inference
 
         key = (batch, steps, guidance, scheduler)
         with self._state_lock:
             pipe = self._pipelines.get(key)
         if pipe is None:
-            solver = (
-                DPMSolverMultistep.create_ddim(self.modules.schedule, steps)
-                if scheduler == "ddim"
-                else DPMSolverMultistep.create(self.modules.schedule, steps)
-            )
+            solver = make_solver(self.modules.schedule, scheduler, steps)
+            is_ancestral = solver.is_ancestral
 
-            def gen(params, example, noise):
-                # initial noise is an argument (not rng-drawn inside) so
-                # coalesced requests keep per-request seeds; the rng below
-                # only feeds the unused image-noising branch
+            def gen(params, example, noise, row_keys):
+                # initial noise AND per-row ancestral keys are arguments
+                # (not rng-drawn inside) so coalesced requests keep
+                # per-request seeds; the rng below only feeds the unused
+                # image-noising branch. row_keys is dead for deterministic
+                # solvers (XLA drops it).
                 img = run_inference(
                     self.modules, params, solver, example,
                     self.jax.random.PRNGKey(0),
@@ -282,6 +282,7 @@ class PhotoVerseService:
                     latent_size=self.latent_size,
                     initial_noise=noise,
                     latent_sharding=self.lat_sh,
+                    ancestral_keys=row_keys if is_ancestral else None,
                 )
                 # denormalize + pack to uint8 ON DEVICE — the exact
                 # arithmetic of utils.image to_pil(denormalize(x)):
@@ -292,7 +293,9 @@ class PhotoVerseService:
                 return jnp.round(u * 255.0).astype(jnp.uint8)
 
             if self.param_sh is not None:
-                pipe = jax.jit(gen, in_shardings=(self.param_sh, None, None))
+                pipe = jax.jit(
+                    gen, in_shardings=(self.param_sh, None, None, None)
+                )
             else:
                 pipe = jax.jit(gen)
             with self._state_lock:
@@ -307,6 +310,15 @@ class PhotoVerseService:
         in_ch = self.modules.unet.config.in_channels
         return jax.random.normal(
             key, (n, self.latent_size, self.latent_size, in_ch)
+        )
+
+    def _make_row_keys(self, seed: int, n: int):
+        """Per-row ancestral keys — the exact keys run_inference would
+        derive for rng=PRNGKey(seed), so a request's images match the
+        one-shot path and are independent of batch placement."""
+        jax = self.jax
+        return jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(int(seed)), 0xA9CE), n
         )
 
     def warmup(self, steps: int | None = None, guidance: float = 6.0,
@@ -343,7 +355,8 @@ class PhotoVerseService:
             print(f"[serve] warmup: compiling bucket {b} "
                   f"({steps} steps, guidance {guidance})", flush=True)
             out = self._pipeline(b, steps, guidance, scheduler)(
-                self.params, example, self._make_noise(0, b)
+                self.params, example, self._make_noise(0, b),
+                self._make_row_keys(0, b),
             )
             self.jax.block_until_ready(out)
 
@@ -360,8 +373,13 @@ class PhotoVerseService:
         steps = int(req.get("steps", self.args.default_steps))
         guidance = float(req.get("guidance_scale", 6.0))
         scheduler = str(req.get("scheduler", "dpm"))
-        if scheduler not in ("dpm", "ddim"):
-            raise ValueError(f"unknown scheduler: {scheduler}")
+        from photoverse_tpu.core.schedulers import SCHEDULER_NAMES
+
+        if scheduler not in SCHEDULER_NAMES:
+            raise ValueError(
+                f"unknown scheduler: {scheduler} "
+                f"(expected one of {list(SCHEDULER_NAMES)})"
+            )
         prompt = req.get("prompt", "a photo of a {}")
         if "{}" not in prompt:
             prompt = prompt + " {}" if prompt else "a photo of a {}"
@@ -532,14 +550,21 @@ class PhotoVerseService:
         noise = jnp.concatenate(
             [self._make_noise(g.seed, g.n) for g in group], axis=0
         )
+        row_keys = jnp.concatenate(
+            [self._make_row_keys(g.seed, g.n) for g in group], axis=0
+        )
         if bucket > rows:
             noise = jnp.concatenate(
                 [noise, jnp.repeat(noise[-1:], bucket - rows, axis=0)], axis=0
             )
+            row_keys = jnp.concatenate(
+                [row_keys, jnp.repeat(row_keys[-1:], bucket - rows, axis=0)],
+                axis=0,
+            )
 
         t0 = time.perf_counter()
         images = self._pipeline(bucket, steps, guidance, scheduler)(
-            self.params, batch, noise
+            self.params, batch, noise, row_keys
         )
         return (group, rows, bucket, images, t0)
 
@@ -588,9 +613,10 @@ class PhotoVerseService:
             steps, guidance, scheduler = key
             dev = {k: jnp.asarray(v) for k, v in example.items()}
             noise = self._make_noise(seed, n)
+            row_keys = self._make_row_keys(seed, n)
             t0 = time.perf_counter()
             images = self._pipeline(n, steps, guidance, scheduler)(
-                self.params, dev, noise
+                self.params, dev, noise, row_keys
             )
             images = np.asarray(images)
             latency = time.perf_counter() - t0

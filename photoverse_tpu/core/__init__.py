@@ -1,5 +1,7 @@
 from photoverse_tpu.core.schedulers import (
     DDPMSchedule,
     DPMSolverMultistep,
+    SCHEDULER_NAMES,
     make_sd15_schedule,
+    make_solver,
 )

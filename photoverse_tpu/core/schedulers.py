@@ -21,13 +21,46 @@ nothing for XLA to re-derive per step.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["DDPMSchedule", "DPMSolverMultistep", "make_sd15_schedule"]
+__all__ = [
+    "DDPMSchedule",
+    "DPMSolverMultistep",
+    "make_sd15_schedule",
+    "make_solver",
+    "SCHEDULER_NAMES",
+]
+
+
+def _karras_sigmas(
+    sigma_min: float, sigma_max: float, n: int, rho: float = 7.0
+) -> np.ndarray:
+    """Karras et al. (2022) rho-7 sigma grid, descending sigma_max..sigma_min.
+
+    Matches diffusers' `_convert_to_karras` (the `use_karras_sigmas=True`
+    quality knob of DPMSolverMultistepScheduler/EulerDiscreteScheduler)."""
+    ramp = np.linspace(0.0, 1.0, n)
+    min_inv = sigma_min ** (1.0 / rho)
+    max_inv = sigma_max ** (1.0 / rho)
+    return (max_inv + ramp * (min_inv - max_inv)) ** rho
+
+
+def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
+    """Fractional train-timestep for each sigma by log-sigma interpolation
+    (vectorized equivalent of diffusers' `_sigma_to_t`)."""
+    log_sigma = np.log(np.maximum(sigma, 1e-10))
+    dists = log_sigma[None, :] - log_sigmas[:, None]  # (T, N)
+    low_idx = np.clip(
+        np.cumsum(dists >= 0, axis=0).argmax(axis=0), 0, log_sigmas.shape[0] - 2
+    )
+    high_idx = low_idx + 1
+    low, high = log_sigmas[low_idx], log_sigmas[high_idx]
+    w = np.clip((low - log_sigma) / (low - high), 0.0, 1.0)
+    return (1.0 - w) * low_idx + w * high_idx
 
 
 @dataclasses.dataclass(frozen=True)
@@ -121,7 +154,8 @@ class DPMSolverMultistep:
     m = (x - eps_coef[i]*eps) * x0_scale[i] of the model's epsilon output.
     """
 
-    timesteps: np.ndarray  # (N,) int — descending train-timestep indices
+    timesteps: np.ndarray  # (N,) descending train-timestep indices (int, or
+    #                        fractional float for Euler/Karras grids)
     sigmas: np.ndarray  # (N+1,) float — sigma per step, last entry 0
     a: np.ndarray  # (N,) carry coefficient on x
     b: np.ndarray  # (N,) coefficient on current x0-pred
@@ -129,6 +163,11 @@ class DPMSolverMultistep:
     eps_coef: np.ndarray  # (N,) sigma_t for x0 conversion
     x0_scale: np.ndarray  # (N,) 1/alpha_t for x0 conversion
     init_noise_sigma: float = 1.0
+    # per-step ancestral noise std (VP space), None/zeros => deterministic.
+    # Ancestral solvers (Euler-a) add noise_sigma[i] * z after the affine
+    # update; the engine draws z from per-ROW keys so a coalesced batch's
+    # rows stay a pure function of their request seed (cli/serve.py).
+    noise_sigma: Optional[np.ndarray] = None
 
     @staticmethod
     def create(
@@ -136,17 +175,32 @@ class DPMSolverMultistep:
         num_inference_steps: int,
         solver_order: int = 2,
         lower_order_final: bool = True,
+        use_karras_sigmas: bool = False,
     ) -> "DPMSolverMultistep":
         T = schedule.num_train_timesteps
-        # linspace spacing, matching the reference sampler's timestep grid.
-        timesteps = (
-            np.linspace(0, T - 1, num_inference_steps + 1)
-            .round()[::-1][:-1]
-            .astype(np.int64)
-        )
         abar = schedule.alphas_cumprod
         sigmas_full = np.sqrt((1.0 - abar) / abar)
-        sigmas = np.interp(timesteps.astype(np.float64), np.arange(T), sigmas_full)
+        if use_karras_sigmas:
+            # Karras rho-7 grid over the full table's sigma range; integer
+            # timesteps recovered by log-sigma interpolation + round, the
+            # exact `use_karras_sigmas=True` semantics of diffusers'
+            # DPMSolverMultistepScheduler (a.k.a. "DPM++ 2M Karras").
+            sigmas = _karras_sigmas(
+                float(sigmas_full[0]), float(sigmas_full[-1]), num_inference_steps
+            )
+            timesteps = (
+                _sigma_to_t(sigmas, np.log(sigmas_full)).round().astype(np.int64)
+            )
+        else:
+            # linspace spacing, matching the reference sampler's timestep grid.
+            timesteps = (
+                np.linspace(0, T - 1, num_inference_steps + 1)
+                .round()[::-1][:-1]
+                .astype(np.int64)
+            )
+            sigmas = np.interp(
+                timesteps.astype(np.float64), np.arange(T), sigmas_full
+            )
         sigmas = np.concatenate([sigmas, [0.0]])  # final_sigmas_type == "zero"
 
         def split(sig):
@@ -278,20 +332,117 @@ class DPMSolverMultistep:
             x0_scale=x0_scale,
         )
 
+    @staticmethod
+    def create_euler(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+        ancestral: bool = False,
+        use_karras_sigmas: bool = False,
+    ) -> "DPMSolverMultistep":
+        """Euler / Euler-Ancestral in the same static-affine scan form.
+
+        diffusers' EulerDiscreteScheduler works in VE ("sigma") space where
+        X = x0 + sig*eps and the model input is X / sqrt(sig^2 + 1). Our
+        engine's latent IS that scaled model input (the VP latent
+        x = alpha*X, alpha = 1/sqrt(sig^2+1)), so the Euler update
+            X' = X + (sig_down - sig) * eps   [+ sig_up * z  if ancestral]
+        transforms exactly into the affine map
+            x' = a*x + b*m  [+ alpha' * sig_up * z]
+        with  a = (alpha'/alpha) * (sig_down/sig),
+              b = alpha' * (sig - sig_down)/sig   (m = x0-prediction),
+        and sig_down = sig_next (plain Euler) or the ancestral split
+        sig_up^2 = sig_next^2 (sig^2 - sig_next^2)/sig^2,
+        sig_down^2 = sig_next^2 - sig_up^2 (EulerAncestralDiscreteScheduler).
+        Timestep grid: "linspace" N points (fractional floats, like
+        diffusers), or the Karras rho-7 sigma grid with fractional
+        log-sigma-interpolated timesteps when use_karras_sigmas.
+        init_noise_sigma is sigma_max expressed in VP space
+        (alpha_max * sigma_max), matching diffusers' VE-space sigma_max.
+        """
+        T = schedule.num_train_timesteps
+        abar = schedule.alphas_cumprod
+        sigmas_full = np.sqrt((1.0 - abar) / abar)
+        if use_karras_sigmas:
+            sigmas = _karras_sigmas(
+                float(sigmas_full[0]), float(sigmas_full[-1]), num_inference_steps
+            )
+            timesteps = _sigma_to_t(sigmas, np.log(sigmas_full))
+        else:
+            timesteps = np.linspace(
+                0, T - 1, num_inference_steps, dtype=np.float64
+            )[::-1].copy()
+            sigmas = np.interp(timesteps, np.arange(T), sigmas_full)
+        sigmas = np.concatenate([sigmas, [0.0]])
+
+        N = num_inference_steps
+        a = np.zeros(N)
+        b = np.zeros(N)
+        eps_coef = np.zeros(N)
+        x0_scale = np.zeros(N)
+        noise_sigma = np.zeros(N)
+        for i in range(N):
+            sig_f = sigmas[i]
+            sig_n = sigmas[i + 1]
+            alpha_f = 1.0 / np.sqrt(sig_f**2 + 1.0)
+            alpha_n = 1.0 / np.sqrt(sig_n**2 + 1.0)
+            eps_coef[i] = sig_f * alpha_f
+            x0_scale[i] = 1.0 / alpha_f
+            if ancestral and sig_n > 0.0:
+                sig_up = np.sqrt(sig_n**2 * (sig_f**2 - sig_n**2) / sig_f**2)
+                sig_down = np.sqrt(sig_n**2 - sig_up**2)
+            else:
+                sig_up, sig_down = 0.0, sig_n
+            a[i] = (alpha_n / alpha_f) * (sig_down / sig_f)
+            b[i] = alpha_n * (sig_f - sig_down) / sig_f
+            noise_sigma[i] = alpha_n * sig_up
+        sig0 = float(sigmas[0])
+        return DPMSolverMultistep(
+            timesteps=timesteps,
+            sigmas=sigmas,
+            a=a,
+            b=b,
+            c=np.zeros(N),
+            eps_coef=eps_coef,
+            x0_scale=x0_scale,
+            init_noise_sigma=sig0 / np.sqrt(sig0**2 + 1.0),
+            noise_sigma=noise_sigma if ancestral else None,
+        )
+
     @property
     def num_steps(self) -> int:
         return len(self.timesteps)
 
+    @property
+    def is_ancestral(self) -> bool:
+        """True when any step injects fresh noise (the engine then needs
+        per-row ancestral keys)."""
+        return self.noise_sigma is not None and bool(np.any(self.noise_sigma != 0))
+
     def scan_inputs(self) -> dict:
-        """Per-step xs for `lax.scan`, as f32 device arrays."""
-        return {
-            "t": jnp.asarray(self.timesteps, dtype=jnp.int32),
+        """Per-step xs for `lax.scan`, as f32 device arrays.
+
+        `t` stays int32 for integer grids (DPM/DDIM — bit-identical to the
+        historical behavior); fractional grids (Euler linspace, Karras
+        log-sigma-interpolated) keep float32 like diffusers, which feeds
+        fractional timesteps to the sinusoidal embedding."""
+        t_np = np.asarray(self.timesteps)
+        integral = np.all(t_np == np.round(t_np))
+        xs = {
+            "t": (
+                jnp.asarray(t_np.astype(np.int64), dtype=jnp.int32)
+                if integral
+                else jnp.asarray(t_np, dtype=jnp.float32)
+            ),
             "a": jnp.asarray(self.a, dtype=jnp.float32),
             "b": jnp.asarray(self.b, dtype=jnp.float32),
             "c": jnp.asarray(self.c, dtype=jnp.float32),
             "eps_coef": jnp.asarray(self.eps_coef, dtype=jnp.float32),
             "x0_scale": jnp.asarray(self.x0_scale, dtype=jnp.float32),
         }
+        if self.is_ancestral:
+            xs["noise_sigma"] = jnp.asarray(self.noise_sigma, dtype=jnp.float32)
+            xs["i"] = jnp.arange(self.num_steps, dtype=jnp.int32)
+        return xs
 
     def step(
         self,
@@ -326,6 +477,54 @@ class DPMSolverMultistep:
         alpha_t = 1.0 / np.sqrt(sigma**2 + 1.0)
         sigma_t = sigma * alpha_t
         return (alpha_t * sample + sigma_t * noise).astype(sample.dtype)
+
+
+# Public sampler names accepted by the CLIs (generate --scheduler,
+# serve request "scheduler"): base samplers plus "_karras"-suffixed
+# Karras-sigma variants (DDIM's grid is defined by its leading spacing —
+# no karras variant, like diffusers).
+SCHEDULER_NAMES = (
+    "dpm",
+    "ddim",
+    "euler",
+    "euler_a",
+    "dpm_karras",
+    "euler_karras",
+    "euler_a_karras",
+)
+
+
+def make_solver(
+    schedule: DDPMSchedule,
+    name: str,
+    num_inference_steps: int,
+    use_karras_sigmas: bool = False,
+) -> DPMSolverMultistep:
+    """Solver factory shared by generate/serve.
+
+    `name` is one of SCHEDULER_NAMES; a "_karras" suffix (or
+    use_karras_sigmas=True) selects the Karras rho-7 sigma grid."""
+    if name.endswith("_karras"):
+        name = name[: -len("_karras")]
+        use_karras_sigmas = True
+    if name == "dpm":
+        return DPMSolverMultistep.create(
+            schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
+        )
+    if name == "ddim":
+        if use_karras_sigmas:
+            raise ValueError("ddim has no karras-sigma variant")
+        return DPMSolverMultistep.create_ddim(schedule, num_inference_steps)
+    if name in ("euler", "euler_a"):
+        return DPMSolverMultistep.create_euler(
+            schedule,
+            num_inference_steps,
+            ancestral=name == "euler_a",
+            use_karras_sigmas=use_karras_sigmas,
+        )
+    raise ValueError(
+        f"unknown scheduler: {name!r} (expected one of {SCHEDULER_NAMES})"
+    )
 
 
 def make_sd15_schedule() -> DDPMSchedule:

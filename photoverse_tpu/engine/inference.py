@@ -172,6 +172,7 @@ def denoise(
     fusion_rng: Optional[jax.Array] = None,
     dropout_rng: Optional[jax.Array] = None,
     latent_sharding=None,  # NamedSharding for (B, h, w, 4): spatial parallelism
+    ancestral_keys: Optional[jax.Array] = None,  # (B,) per-row keys, ancestral solvers
 ) -> jnp.ndarray:
     """Full DPM-Solver++ trajectory; optionally the last `num_grad_steps`
     steps run outside the scan with gradients enabled (reference
@@ -189,6 +190,23 @@ def denoise(
     B = latents.shape[0]
     if train and num_grad_steps > 0 and fusion_rng is None:
         raise ValueError("train=True grad steps require fusion_rng")
+    is_ancestral = solver.is_ancestral
+    if is_ancestral and ancestral_keys is None:
+        raise ValueError(
+            "ancestral solver (noise per step) requires ancestral_keys — "
+            "one key per batch row so a row's trajectory is independent of "
+            "batch placement (run_inference derives them from rng by default)"
+        )
+
+    def _step_noise(i):
+        # per-ROW noise: fold the step index into each row's own key, so a
+        # coalesced batch's rows depend only on their request seed
+        row_shape = latents.shape[1:]
+        return jax.vmap(
+            lambda k: jax.random.normal(
+                jax.random.fold_in(k, i), row_shape, latents.dtype
+            )
+        )(ancestral_keys)
 
     # hoist the loop-invariant context K/V projections out of the scan; the
     # scanned prefix is stop-gradiented (or grad-free), so the cache never
@@ -267,6 +285,8 @@ def denoise(
         lat, m_prev = carry
         eps = eps_fn(lat, x["t"])
         lat, m = solver.step(x, lat, eps, m_prev)
+        if is_ancestral:
+            lat = lat + x["noise_sigma"].astype(lat.dtype) * _step_noise(x["i"])
         return (constrain(lat), constrain(m)), None
 
     carry = (constrain(latents), jnp.zeros_like(latents))
@@ -292,6 +312,8 @@ def denoise(
         else:
             eps = eps_fn(lat, x["t"], use_cache=False)
         lat, m = solver.step(x, lat, eps, m_prev)
+        if is_ancestral:
+            lat = lat + x["noise_sigma"].astype(lat.dtype) * _step_noise(x["i"])
         carry = (constrain(lat), constrain(m))
     return carry[0]
 
@@ -312,6 +334,7 @@ def run_inference(
     ip_mask: Optional[jnp.ndarray] = None,
     latent_sharding=None,  # NamedSharding: spatial parallelism (parallel/sp.py)
     initial_noise: Optional[jnp.ndarray] = None,
+    ancestral_keys: Optional[jax.Array] = None,
 ) -> jnp.ndarray:
     """Generate images for a preprocessed example batch.
 
@@ -324,13 +347,20 @@ def run_inference(
     starting noise — callers that coalesce independently-seeded requests
     into one batch (cli/serve.py dynamic batching) draw each request's rows
     from its own key and concatenate, so a request's images do not depend
-    on which batch it landed in.
+    on which batch it landed in. For ancestral solvers (Euler-a) the same
+    invariant needs per-row `ancestral_keys` — derived from rng when absent;
+    coalescing callers pass each request's own row keys.
     """
     px_clip = example["pixel_values_clip"]
     ids = example["text_input_ids"]
     pidx = example["concept_placeholder_idx"]
     B = px_clip.shape[0]
     noise_rng, vae_rng = jax.random.split(rng)
+
+    if solver.is_ancestral and ancestral_keys is None:
+        # folded off the caller's key so existing samplers' noise streams
+        # stay byte-identical to before ancestral support existed
+        ancestral_keys = jax.random.split(jax.random.fold_in(rng, 0xA9CE), B)
 
     in_ch = modules.unet.config.in_channels
     if initial_noise is not None:
@@ -339,6 +369,9 @@ def run_inference(
         noise = jax.random.normal(noise_rng, (B, latent_size, latent_size, in_ch))
 
     if from_noised_image:
+        # add_noise already lands on the step-0 marginal — init_noise_sigma
+        # applies only to the pure-noise start (for DPM/DDIM it is 1.0; for
+        # Euler grids it is sigma_max in VP space)
         lat = modules.vae.apply(
             {"params": params.vae},
             example["pixel_values"],
@@ -348,8 +381,7 @@ def run_inference(
         lat = jax.lax.stop_gradient(lat) * modules.scaling_factor
         latents = solver.add_noise(lat, noise, 0)
     else:
-        latents = noise
-    latents = latents * solver.init_noise_sigma
+        latents = noise * solver.init_noise_sigma
 
     # conditional branch
     concept, id_ctx = encode_condition(modules, params, px_clip, token_index)
@@ -388,6 +420,7 @@ def run_inference(
         num_grad_steps=num_grad_steps,
         ip_mask=ip_mask,
         latent_sharding=latent_sharding,
+        ancestral_keys=ancestral_keys,
     )
 
     if latent_sharding is not None:

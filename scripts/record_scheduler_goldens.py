@@ -104,6 +104,131 @@ def main():
         json.dump(ddim_record, f)
     print(f"wrote {ddim_out}")
 
+    # DPM-Solver++(2M) on the Karras sigma grid (use_karras_sigmas=True) —
+    # consumed by tests/test_scheduler_goldens.py::test_dpm_karras_diffusers_goldens
+    karras_record = {"model": "eps = 0.1 * x", "seed": 1234,
+                     "shape": [2, 4, 4, 4], "runs": {}}
+    for n in STEPS:
+        sched = DPMSolverMultistepScheduler(
+            num_train_timesteps=1000,
+            beta_start=0.00085,
+            beta_end=0.012,
+            beta_schedule="scaled_linear",
+            algorithm_type="dpmsolver++",
+            solver_order=2,
+            solver_type="midpoint",
+            lower_order_final=True,
+            timestep_spacing="linspace",
+            final_sigmas_type="zero",
+            prediction_type="epsilon",
+            use_karras_sigmas=True,
+        )
+        sched.set_timesteps(n)
+        x = torch.from_numpy(
+            np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+        )
+        for t in sched.timesteps:
+            eps = 0.1 * x
+            x = sched.step(eps, t, x).prev_sample
+        karras_record["runs"][str(n)] = {
+            "timesteps": [int(t) for t in sched.timesteps],
+            "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+        }
+    karras_out = os.path.join(
+        os.path.dirname(OUT), "dpm_karras_goldens_diffusers.json"
+    )
+    with open(karras_out, "w") as f:
+        json.dump(karras_record, f)
+    print(f"wrote {karras_out}")
+
+    # Euler / Euler-Karras (EulerDiscreteScheduler). Protocol: the model
+    # sees the SCALED input (scale_model_input) — which is exactly the
+    # VP-space latent my static-affine formulation carries — so
+    # eps = 0.1 * scaled_input keeps both sides consistent. x starts at
+    # z * init_noise_sigma in diffusers' VE space; the final sample (sigma
+    # 0) is directly comparable. Consumed by
+    # tests/test_scheduler_goldens.py::test_euler_diffusers_goldens.
+    from diffusers import EulerDiscreteScheduler
+
+    for karras, fname in ((False, "euler_goldens_diffusers.json"),
+                          (True, "euler_karras_goldens_diffusers.json")):
+        rec = {"model": "eps = 0.1 * scale_model_input(x)", "seed": 1234,
+               "shape": [2, 4, 4, 4], "runs": {}}
+        for n in STEPS:
+            sched = EulerDiscreteScheduler(
+                num_train_timesteps=1000,
+                beta_start=0.00085,
+                beta_end=0.012,
+                beta_schedule="scaled_linear",
+                prediction_type="epsilon",
+                timestep_spacing="linspace",
+                use_karras_sigmas=karras,
+            )
+            sched.set_timesteps(n)
+            x = torch.from_numpy(
+                np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+            ) * sched.init_noise_sigma
+            for t in sched.timesteps:
+                xin = sched.scale_model_input(x, t)
+                eps = 0.1 * xin
+                x = sched.step(eps, t, x).prev_sample
+            rec["runs"][str(n)] = {
+                "timesteps": [float(t) for t in sched.timesteps],
+                "init_noise_sigma": float(sched.init_noise_sigma),
+                "sigmas": [float(s) for s in sched.sigmas],
+                "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+            }
+        out = os.path.join(os.path.dirname(OUT), fname)
+        with open(out, "w") as f:
+            json.dump(rec, f)
+        print(f"wrote {out}")
+
+    # Euler-Ancestral. The scheduler draws its per-step noise internally
+    # from `generator`; a twin generator seeded identically reproduces the
+    # exact draws (one randn per step, unconditional in diffusers' step()),
+    # which are recorded so the offline consumer can replay the trajectory
+    # without torch. Consumed by test_euler_a_diffusers_goldens.
+    from diffusers import EulerAncestralDiscreteScheduler
+
+    anc_record = {"model": "eps = 0.1 * scale_model_input(x)", "seed": 1234,
+                  "noise_seed": 4321, "shape": [2, 4, 4, 4], "runs": {}}
+    for n in STEPS:
+        sched = EulerAncestralDiscreteScheduler(
+            num_train_timesteps=1000,
+            beta_start=0.00085,
+            beta_end=0.012,
+            beta_schedule="scaled_linear",
+            prediction_type="epsilon",
+            timestep_spacing="linspace",
+        )
+        sched.set_timesteps(n)
+        g = torch.Generator().manual_seed(4321)
+        g_twin = torch.Generator().manual_seed(4321)
+        x = torch.from_numpy(
+            np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+        ) * sched.init_noise_sigma
+        noises = []
+        for t in sched.timesteps:
+            xin = sched.scale_model_input(x, t)
+            eps = 0.1 * xin
+            x = sched.step(eps, t, x, generator=g).prev_sample
+            noises.append(
+                torch.randn(x.shape, generator=g_twin, dtype=x.dtype)
+                .numpy().astype(np.float64).ravel().tolist()
+            )
+        anc_record["runs"][str(n)] = {
+            "timesteps": [float(t) for t in sched.timesteps],
+            "init_noise_sigma": float(sched.init_noise_sigma),
+            "noises": noises,
+            "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+        }
+    anc_out = os.path.join(
+        os.path.dirname(OUT), "euler_a_goldens_diffusers.json"
+    )
+    with open(anc_out, "w") as f:
+        json.dump(anc_record, f)
+    print(f"wrote {anc_out}")
+
 
 if __name__ == "__main__":
     sys.exit(main())

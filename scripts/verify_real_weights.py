@@ -11,10 +11,10 @@ checkpoints) plus `diffusers` installed:
          --arcface_weights arcface18.pt --mtcnn_weights mtcnn.pt]
 
 Stages (each skips gracefully, recording the reason in the report):
-  1. scheduler-goldens  — records diffusers DPM-Solver++ and DDIM golden
-     trajectories into tests/fixtures/ (consumed by
-     tests/test_scheduler_goldens.py and tests/test_round3.py; these are
-     the suite's "needs network" skip slots)
+  1. scheduler-goldens  — records diffusers DPM-Solver++ (plain + Karras),
+     DDIM, Euler, Euler-Karras, and Euler-Ancestral golden trajectories
+     into tests/fixtures/ (consumed by tests/test_scheduler_goldens.py and
+     tests/test_round3.py; these are the suite's "needs network" skip slots)
   2. module-parity      — loads the REAL SD-1.5 + CLIP ViT-L/14 weights
      with torch (diffusers/transformers), runs the pinned input protocol
      (photoverse_tpu.convert.real_goldens), converts the same weights with

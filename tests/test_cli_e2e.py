@@ -465,6 +465,91 @@ def test_serve_dynamic_batching(tmp_path):
             s.shutdown()
 
 
+def test_serve_euler_a_batching_preserves_seeds(tmp_path):
+    """Ancestral samplers inject fresh noise every step; the per-request
+    invariant must still hold under dynamic batching — the per-ROW
+    ancestral keys (engine/inference.py _step_noise, serve _make_row_keys)
+    make a coalesced euler_a request match the sequential server's output
+    for the same seed."""
+    import base64
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from http.server import HTTPServer, ThreadingHTTPServer
+
+    from photoverse_tpu.cli.serve import PhotoVerseService, build_parser, make_handler
+
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+    img_b64 = base64.b64encode(face.read_bytes()).decode()
+
+    common = [
+        "--model_path", root, "--resolution", "32", "--default_steps", "2",
+        "--encoder_layers_idx", "1", "2", "3", "4", "--port", "0",
+    ]
+    seq = PhotoVerseService(build_parser().parse_args(common))
+    bat = PhotoVerseService(build_parser().parse_args(
+        common + ["--dynamic_batching", "--batch_wait_ms", "2000",
+                  "--max_batch", "2"]
+    ))
+
+    servers = []
+
+    def _serve(service, cls):
+        server = cls(("127.0.0.1", 0), make_handler(service))
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        servers.append(server)
+        return server.server_address[1]
+
+    p_seq = _serve(seq, HTTPServer)
+    p_bat = _serve(bat, ThreadingHTTPServer)
+
+    def post(port, body):
+        r = urllib.request.urlopen(
+            urllib.request.Request(
+                f"http://127.0.0.1:{port}/generate",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=600,
+        )
+        return _json.loads(r.read())
+
+    def pixels(resp, i=0):
+        data = base64.b64decode(resp["images_b64"][i])
+        return np.asarray(Image.open(io.BytesIO(data)), np.int32)
+
+    try:
+        base = {"image_b64": img_b64, "prompt": "the photo of a {}",
+                "steps": 2, "guidance_scale": 2.0, "scheduler": "euler_a"}
+        solo3 = post(p_seq, dict(base, seed=3))
+        solo7 = post(p_seq, dict(base, seed=7))
+
+        results = {}
+
+        def fire(seed):
+            results[seed] = post(p_bat, dict(base, seed=seed))
+
+        threads = [threading.Thread(target=fire, args=(s,)) for s in (3, 7)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        assert results[3]["batch_rows"] == 2
+        assert results[7]["batch_rows"] == 2
+        assert np.max(np.abs(pixels(results[3]) - pixels(solo3))) <= 2
+        assert np.max(np.abs(pixels(results[7]) - pixels(solo7))) <= 2
+        assert np.max(np.abs(pixels(results[3]) - pixels(results[7]))) > 2
+    finally:
+        for s in servers:
+            s.shutdown()
+
+
 def test_serve_dynamic_batching_stress(tmp_path):
     """Concurrency regression: a burst of mixed requests (different seeds,
     num_samples, and step counts) through the threaded frontend + worker

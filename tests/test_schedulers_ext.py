@@ -1,0 +1,286 @@
+"""Extended sampler tests: Euler / Euler-Ancestral / Karras-sigma grids.
+
+The reference exposes only DPM-Solver++ at inference
+(/root/reference/models/infer.py:39-40); these samplers are the standard
+diffusers quality knobs its users reach for (EulerDiscreteScheduler,
+EulerAncestralDiscreteScheduler, use_karras_sigmas=True) — implemented in
+the same static-affine `lax.scan` form as the DPM solver
+(photoverse_tpu/core/schedulers.py). Every test here validates the static
+coefficients against an independently-written stateful textbook/diffusers
+formulation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photoverse_tpu.core import (
+    DPMSolverMultistep,
+    SCHEDULER_NAMES,
+    make_sd15_schedule,
+    make_solver,
+)
+from photoverse_tpu.core.schedulers import _karras_sigmas, _sigma_to_t
+
+
+def _sigma_table(sch):
+    return np.sqrt((1.0 - sch.alphas_cumprod) / sch.alphas_cumprod)
+
+
+def test_karras_grid_formula():
+    sch = make_sd15_schedule()
+    table = _sigma_table(sch)
+    n = 10
+    sig = _karras_sigmas(float(table[0]), float(table[-1]), n)
+    # descending, endpoints exactly the full-table sigma range
+    assert np.all(np.diff(sig) < 0)
+    np.testing.assert_allclose(sig[0], table[-1], rtol=1e-12)
+    np.testing.assert_allclose(sig[-1], table[0], rtol=1e-12)
+    # rho-7 closed form at an interior ramp point
+    rho = 7.0
+    ramp = np.linspace(0, 1, n)[3]
+    want = (
+        table[-1] ** (1 / rho) + ramp * (table[0] ** (1 / rho) - table[-1] ** (1 / rho))
+    ) ** rho
+    np.testing.assert_allclose(sig[3], want, rtol=1e-12)
+
+
+def test_sigma_to_t_roundtrips_table_points():
+    sch = make_sd15_schedule()
+    table = _sigma_table(sch)
+    log_sigmas = np.log(table)
+    ts = np.array([0, 1, 57, 500, 998], dtype=np.float64)
+    got = _sigma_to_t(table[ts.astype(int)], log_sigmas)
+    np.testing.assert_allclose(got, ts, atol=1e-9)
+
+
+def test_dpm_karras_exact_for_consistent_model():
+    """The exact-ODE-solution property of DPM-Solver++ holds on ANY sigma
+    grid, so a model whose eps is consistent with a fixed x0 must be
+    recovered exactly on the Karras grid too."""
+    sch = make_sd15_schedule()
+    for n in (5, 25):
+        solver = DPMSolverMultistep.create(sch, n, use_karras_sigmas=True)
+        assert np.all(np.diff(solver.sigmas) < 0) or solver.sigmas[-1] == 0.0
+        rng = np.random.RandomState(1)
+        x0_true = rng.randn(1, 4, 8, 8).astype(np.float32)
+        noise = rng.randn(1, 4, 8, 8).astype(np.float32)
+        sigma0 = solver.sigmas[0]
+        alpha0 = 1.0 / np.sqrt(sigma0**2 + 1)
+        x = jnp.asarray(alpha0 * x0_true + sigma0 * alpha0 * noise)
+        xs = solver.scan_inputs()
+        m_prev = jnp.zeros_like(x)
+        for i in range(n):
+            step = {k: v[i] for k, v in xs.items()}
+            eps = (x - jnp.asarray(x0_true) / step["x0_scale"]) / step["eps_coef"]
+            x, m_prev = solver.step(step, x, eps, m_prev)
+        np.testing.assert_allclose(np.asarray(x), x0_true, rtol=2e-4, atol=2e-4)
+
+
+def test_dpm_karras_timesteps_are_ints_from_log_interp():
+    sch = make_sd15_schedule()
+    solver = DPMSolverMultistep.create(sch, 25, use_karras_sigmas=True)
+    assert solver.timesteps.dtype == np.int64
+    assert solver.timesteps[0] == sch.num_train_timesteps - 1
+    assert np.all(np.diff(solver.timesteps) < 0)
+    # scan t stays int32 for integer grids
+    assert solver.scan_inputs()["t"].dtype == jnp.int32
+
+
+def test_euler_fractional_timesteps():
+    sch = make_sd15_schedule()
+    solver = DPMSolverMultistep.create_euler(sch, 7)
+    want = np.linspace(0, 999, 7)[::-1]
+    np.testing.assert_allclose(solver.timesteps, want, rtol=1e-12)
+    # fractional grid -> float32 t in the scan
+    assert solver.scan_inputs()["t"].dtype == jnp.float32
+    # VP-space sigma_max: diffusers' VE init (sigma_max * z) divided by
+    # sqrt(sigma_max^2 + 1)
+    s0 = solver.sigmas[0]
+    np.testing.assert_allclose(
+        solver.init_noise_sigma, s0 / np.sqrt(s0**2 + 1), rtol=1e-12
+    )
+
+
+def test_euler_exact_for_consistent_model():
+    """Euler integrates X = x0 + sig*eps exactly when eps is constant along
+    the trajectory (the VE-space path is linear in sigma)."""
+    sch = make_sd15_schedule()
+    for n, karras in ((5, False), (25, False), (25, True)):
+        solver = DPMSolverMultistep.create_euler(sch, n, use_karras_sigmas=karras)
+        rng = np.random.RandomState(2)
+        x0_true = rng.randn(1, 4, 8, 8).astype(np.float32)
+        noise = rng.randn(1, 4, 8, 8).astype(np.float32)
+        sigma0 = solver.sigmas[0]
+        alpha0 = 1.0 / np.sqrt(sigma0**2 + 1)
+        x = jnp.asarray(alpha0 * x0_true + sigma0 * alpha0 * noise)
+        xs = solver.scan_inputs()
+        m_prev = jnp.zeros_like(x)
+        for i in range(n):
+            step = {k: v[i] for k, v in xs.items()}
+            eps = (x - jnp.asarray(x0_true) / step["x0_scale"]) / step["eps_coef"]
+            x, m_prev = solver.step(step, x, eps, m_prev)
+        np.testing.assert_allclose(
+            np.asarray(x), x0_true, rtol=2e-4, atol=2e-4,
+            err_msg=f"n={n} karras={karras}",
+        )
+
+
+@pytest.mark.parametrize("karras", [False, True])
+def test_euler_matches_stateful_ve_formulation(karras):
+    """Our VP-space affine coefficients must reproduce the canonical
+    VE-space Euler update (diffusers EulerDiscreteScheduler semantics:
+    pred_x0 = X - sig*eps, derivative = eps, X' = X + (sig'-sig)*eps),
+    converted step-by-step via x_VP = alpha * X_VE."""
+    sch = make_sd15_schedule()
+    n = 9
+    solver = DPMSolverMultistep.create_euler(sch, n, use_karras_sigmas=karras)
+    sigmas = solver.sigmas
+    rng = np.random.RandomState(7)
+    z = rng.randn(2, 4, 4, 4).astype(np.float64)
+    eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+
+    x_vp = z * solver.init_noise_sigma
+    x_ve = z * sigmas[0]
+    xs = solver.scan_inputs()
+    m_prev = np.zeros_like(x_vp)
+    for i in range(n):
+        step = {k: np.asarray(v[i], np.float64) for k, v in xs.items()}
+        m = (x_vp - step["eps_coef"] * eps_seq[i]) * step["x0_scale"]
+        x_vp = step["a"] * x_vp + step["b"] * m + step["c"] * m_prev
+        m_prev = m
+
+        x_ve = x_ve + (sigmas[i + 1] - sigmas[i]) * eps_seq[i]
+        alpha_next = 1.0 / np.sqrt(sigmas[i + 1] ** 2 + 1.0)
+        np.testing.assert_allclose(
+            x_vp, alpha_next * x_ve, rtol=1e-4, atol=1e-5,
+            err_msg=f"step {i}",
+        )
+
+
+def test_euler_ancestral_matches_stateful():
+    """Ancestral variant vs the canonical EulerAncestralDiscreteScheduler
+    update: sigma_up/down split, X' = X + (sig_down - sig)*eps + sig_up*z."""
+    sch = make_sd15_schedule()
+    n = 8
+    solver = DPMSolverMultistep.create_euler(sch, n, ancestral=True)
+    assert solver.is_ancestral
+    sigmas = solver.sigmas
+    rng = np.random.RandomState(11)
+    z0 = rng.randn(2, 4, 4, 4).astype(np.float64)
+    eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+    z_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+
+    x_vp = z0 * solver.init_noise_sigma
+    x_ve = z0 * sigmas[0]
+    xs = solver.scan_inputs()
+    m_prev = np.zeros_like(x_vp)
+    for i in range(n):
+        step = {k: np.asarray(v[i], np.float64) for k, v in xs.items()}
+        m = (x_vp - step["eps_coef"] * eps_seq[i]) * step["x0_scale"]
+        x_vp = step["a"] * x_vp + step["b"] * m + step["c"] * m_prev
+        x_vp = x_vp + step["noise_sigma"] * z_seq[i]
+        m_prev = m
+
+        sig_f, sig_n = sigmas[i], sigmas[i + 1]
+        if sig_n > 0:
+            sig_up = np.sqrt(sig_n**2 * (sig_f**2 - sig_n**2) / sig_f**2)
+            sig_down = np.sqrt(sig_n**2 - sig_up**2)
+        else:
+            sig_up, sig_down = 0.0, 0.0
+        x_ve = x_ve + (sig_down - sig_f) * eps_seq[i] + sig_up * z_seq[i]
+        alpha_next = 1.0 / np.sqrt(sig_n**2 + 1.0)
+        np.testing.assert_allclose(
+            x_vp, alpha_next * x_ve, rtol=1e-4, atol=1e-5,
+            err_msg=f"step {i}",
+        )
+    # the last step injects no noise (sigma_next == 0)
+    assert solver.noise_sigma[-1] == 0.0
+
+
+def test_plain_euler_is_not_ancestral():
+    sch = make_sd15_schedule()
+    assert not DPMSolverMultistep.create_euler(sch, 5).is_ancestral
+    assert not DPMSolverMultistep.create(sch, 5).is_ancestral
+    assert not DPMSolverMultistep.create_ddim(sch, 5).is_ancestral
+    # ancestral scan feeds noise_sigma + step index
+    anc = DPMSolverMultistep.create_euler(sch, 5, ancestral=True)
+    xs = anc.scan_inputs()
+    assert "noise_sigma" in xs and "i" in xs
+    assert "noise_sigma" not in DPMSolverMultistep.create(sch, 5).scan_inputs()
+
+
+def test_make_solver_factory():
+    sch = make_sd15_schedule()
+    for name in SCHEDULER_NAMES:
+        s = make_solver(sch, name, 6)
+        assert s.num_steps == 6
+        assert s.is_ancestral == name.startswith("euler_a")
+    # karras via flag == karras via suffix
+    a = make_solver(sch, "dpm_karras", 8)
+    b = make_solver(sch, "dpm", 8, use_karras_sigmas=True)
+    np.testing.assert_array_equal(a.timesteps, b.timesteps)
+    np.testing.assert_allclose(a.sigmas, b.sigmas)
+    with pytest.raises(ValueError):
+        make_solver(sch, "ddim", 6, use_karras_sigmas=True)
+    with pytest.raises(ValueError):
+        make_solver(sch, "plms", 6)
+
+
+def test_euler_a_denoise_rows_independent_of_batch():
+    """The serving invariant, extended to ancestral samplers: a row's image
+    depends only on its own (initial noise, ancestral row key) — not on
+    which batch it was coalesced into (engine/inference.py per-row
+    _step_noise)."""
+    from photoverse_tpu.engine.inference import run_inference
+    from tiny_models import LATENT, tiny_batch, tiny_bundle
+
+    modules, params = tiny_bundle()
+    solver = DPMSolverMultistep.create_euler(modules.schedule, 4, ancestral=True)
+    batch = tiny_batch(B=2, seed=3)
+    ex2 = {k: jnp.asarray(v) for k, v in batch.items()}
+    keys = jax.random.split(jax.random.PRNGKey(42), 2)
+    noise = jax.random.normal(jax.random.PRNGKey(5), (2, LATENT, LATENT, 4))
+
+    imgs2 = run_inference(
+        modules, params, solver, ex2, jax.random.PRNGKey(0),
+        guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        initial_noise=noise, ancestral_keys=keys,
+    )
+    ex1 = {k: v[1:] for k, v in ex2.items()}
+    imgs1 = run_inference(
+        modules, params, solver, ex1, jax.random.PRNGKey(0),
+        guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        initial_noise=noise[1:], ancestral_keys=keys[1:],
+    )
+    np.testing.assert_allclose(
+        np.asarray(imgs2[1]), np.asarray(imgs1[0]), atol=1e-5
+    )
+    # and the ancestral noise actually flows: different row keys -> different image
+    imgs_alt = run_inference(
+        modules, params, solver, ex1, jax.random.PRNGKey(0),
+        guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        initial_noise=noise[1:], ancestral_keys=jax.random.split(jax.random.PRNGKey(7), 1),
+    )
+    assert float(np.abs(np.asarray(imgs_alt) - np.asarray(imgs1)).max()) > 1e-4
+
+
+def test_euler_denoise_runs_jitted():
+    """Plain Euler end-to-end under jit (fractional float32 timesteps feed
+    the sinusoidal embedding, like diffusers)."""
+    from photoverse_tpu.engine.inference import run_inference
+    from tiny_models import LATENT, tiny_batch, tiny_bundle
+
+    modules, params = tiny_bundle()
+    solver = DPMSolverMultistep.create_euler(modules.schedule, 3)
+    batch = tiny_batch(B=1, seed=4)
+    ex = {k: jnp.asarray(v) for k, v in batch.items()}
+    fn = jax.jit(
+        lambda p, e, r: run_inference(
+            modules, p, solver, e, r,
+            guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        )
+    )
+    imgs = fn(params, ex, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(imgs)))
