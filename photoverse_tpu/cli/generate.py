@@ -77,13 +77,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = all local devices; the rest of the devices "
                         "form the data axis)")
     p.add_argument("--scheduler", type=str, default="dpm",
-                   choices=["dpm", "ddim", "euler", "euler_a",
-                            "dpm_karras", "euler_karras", "euler_a_karras"],
+                   choices=["dpm", "ddim", "euler", "euler_a", "unipc",
+                            "dpm_karras", "euler_karras", "euler_a_karras",
+                            "unipc_karras"],
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
                         "ddim: DDIM eta=0 (BASELINE.json's 50-step-DDIM "
                         "metric wording); euler / euler_a: (ancestral) "
-                        "Euler discrete; *_karras: same sampler on the "
-                        "Karras rho-7 sigma grid (diffusers "
+                        "Euler discrete; unipc: UniPC bh2 "
+                        "predictor-corrector; *_karras: same sampler on "
+                        "the Karras rho-7 sigma grid (diffusers "
                         "use_karras_sigmas=True)")
     p.add_argument("--karras_sigmas", action="store_true",
                    help="Karras rho-7 sigma grid for the chosen scheduler "

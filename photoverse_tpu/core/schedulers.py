@@ -168,6 +168,16 @@ class DPMSolverMultistep:
     # update; the engine draws z from per-ROW keys so a coalesced batch's
     # rows stay a pure function of their request seed (cli/serve.py).
     noise_sigma: Optional[np.ndarray] = None
+    # UniPC corrector (create_unipc): before the predictor, the current
+    # latent is corrected using THIS step's x0-prediction —
+    #   x_corr = ci*x + ca*x_prev + cb_this*m + cb_prev*m_prev + cb_pp*m_pp
+    # (all static per-step scalars; the scan carry grows to
+    # (x, x_prev_corrected, m_prev, m_pp) when these are set).
+    corr_ci: Optional[np.ndarray] = None
+    corr_a: Optional[np.ndarray] = None
+    corr_b_this: Optional[np.ndarray] = None
+    corr_b_prev: Optional[np.ndarray] = None
+    corr_b_pp: Optional[np.ndarray] = None
 
     @staticmethod
     def create(
@@ -408,9 +418,162 @@ class DPMSolverMultistep:
             noise_sigma=noise_sigma if ancestral else None,
         )
 
+    @staticmethod
+    def create_unipc(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+        solver_order: int = 2,
+        lower_order_final: bool = True,
+        use_karras_sigmas: bool = False,
+    ) -> "DPMSolverMultistep":
+        """UniPC (bh2, data prediction) as static predictor+corrector maps.
+
+        Semantics match diffusers' UniPCMultistepScheduler defaults
+        (predict_x0, solver_type="bh2", solver_order=2, lower_order_final,
+        linspace spacing, final_sigmas_type="zero", corrector enabled on
+        every step after the first). Two structural facts make the static
+        form possible:
+          * the bh2 order-2 PREDICTOR uses the fixed midpoint weight
+            rhos_p=[0.5], which with B(h)=e^h-1 reduces exactly to the
+            DPM-Solver++(2M) midpoint update — same (a, b, c) family;
+          * the CORRECTOR re-derives the i-1 -> i transition with THIS
+            step's x0-prediction appended (rhos_c from the 2x2 Vandermonde
+            solve), which is affine in (x_{i-1}, m_i, m_{i-1}, m_{i-2})
+            with host-computable weights.
+        The corrector at step i runs at the order the predictor used at
+        step i-1 (diffusers carries self.this_order across the boundary).
+        m_i is converted from the UNCORRECTED x_i, like diffusers
+        (convert_model_output runs before multistep_uni_c_bh_update).
+        """
+        T = schedule.num_train_timesteps
+        abar = schedule.alphas_cumprod
+        sigmas_full = np.sqrt((1.0 - abar) / abar)
+        if use_karras_sigmas:
+            sigmas = _karras_sigmas(
+                float(sigmas_full[0]), float(sigmas_full[-1]), num_inference_steps
+            )
+            timesteps = (
+                _sigma_to_t(sigmas, np.log(sigmas_full)).round().astype(np.int64)
+            )
+        else:
+            timesteps = (
+                np.linspace(0, T - 1, num_inference_steps + 1)
+                .round()[::-1][:-1]
+                .astype(np.int64)
+            )
+            sigmas = np.interp(
+                timesteps.astype(np.float64), np.arange(T), sigmas_full
+            )
+        sigmas = np.concatenate([sigmas, [0.0]])
+
+        def split(sig):
+            alpha_t = 1.0 / np.sqrt(sig**2 + 1.0)
+            return alpha_t, sig * alpha_t
+
+        def lam(sig):
+            a_t, s_t = split(sig)
+            return np.log(a_t / s_t)
+
+        N = num_inference_steps
+        a = np.zeros(N)
+        b = np.zeros(N)
+        c = np.zeros(N)
+        eps_coef = np.zeros(N)
+        x0_scale = np.zeros(N)
+        ci = np.zeros(N)
+        ca = np.zeros(N)
+        cb_this = np.zeros(N)
+        cb_prev = np.zeros(N)
+        cb_pp = np.zeros(N)
+
+        orders = []
+        lower_order_nums = 0
+        for i in range(N):
+            sigma_s0 = sigmas[i]
+            sigma_t = sigmas[i + 1]
+            alpha_s0, sig_s0 = split(sigma_s0)
+            eps_coef[i] = sig_s0
+            x0_scale[i] = 1.0 / alpha_s0
+
+            # ---- corrector for the (i-1 -> i) transition, at the order the
+            # step-(i-1) predictor ran (diffusers: self.this_order)
+            if i == 0:
+                ci[i] = 1.0  # no corrector on the first step
+            else:
+                corder = orders[i - 1]
+                s_prev = sigmas[i - 1]
+                alpha_c, sig_c = split(sigma_s0)  # correction target: sigma_i
+                alpha_p, sig_p = split(s_prev)
+                h_c = lam(sigma_s0) - lam(s_prev)
+                hh = -h_c  # predict_x0
+                h_phi_1 = np.expm1(hh)
+                B_h = h_phi_1  # bh2
+                b1 = (h_phi_1 / hh - 1.0) / B_h
+                ca[i] = sig_c / sig_p
+                if corder == 1:
+                    rho = 0.5
+                    cb_prev[i] = -alpha_c * h_phi_1 + alpha_c * B_h * rho
+                    cb_this[i] = -alpha_c * B_h * rho
+                else:
+                    # rk for the history point m_{i-2}
+                    rk0 = (lam(sigmas[i - 2]) - lam(s_prev)) / h_c
+                    b2 = 2.0 * ((h_phi_1 / hh - 1.0) / hh - 0.5) / B_h
+                    R = np.array([[1.0, 1.0], [rk0, 1.0]])
+                    rhos = np.linalg.solve(R, np.array([b1, b2]))
+                    cb_prev[i] = -alpha_c * h_phi_1 + alpha_c * B_h * (
+                        rhos[0] / rk0 + rhos[1]
+                    )
+                    cb_pp[i] = -alpha_c * B_h * rhos[0] / rk0
+                    cb_this[i] = -alpha_c * B_h * rhos[1]
+
+            # ---- predictor order bookkeeping (diffusers step())
+            this_order = (
+                min(solver_order, N - i) if lower_order_final else solver_order
+            )
+            this_order = min(this_order, lower_order_nums + 1)
+            orders.append(this_order)
+            if lower_order_nums < solver_order:
+                lower_order_nums += 1
+
+            # ---- predictor (bh2; order 2 == DPM++(2M) midpoint)
+            if sigma_t == 0.0:
+                a[i], b[i], c[i] = 0.0, 1.0, 0.0
+                continue
+            alpha_t, sig_t = split(sigma_t)
+            h = lam(sigma_t) - lam(sigma_s0)
+            em1 = np.expm1(-h)
+            a[i] = sig_t / sig_s0
+            if this_order == 1:
+                b[i] = -alpha_t * em1
+            else:
+                r0 = (lam(sigmas[i - 1]) - lam(sigma_s0)) / h
+                B_h = em1  # bh2
+                b[i] = -alpha_t * em1 + alpha_t * B_h * 0.5 / r0
+                c[i] = -alpha_t * B_h * 0.5 / r0
+
+        return DPMSolverMultistep(
+            timesteps=timesteps,
+            sigmas=sigmas,
+            a=a,
+            b=b,
+            c=c,
+            eps_coef=eps_coef,
+            x0_scale=x0_scale,
+            corr_ci=ci,
+            corr_a=ca,
+            corr_b_this=cb_this,
+            corr_b_prev=cb_prev,
+            corr_b_pp=cb_pp,
+        )
+
     @property
     def num_steps(self) -> int:
         return len(self.timesteps)
+
+    @property
+    def has_corrector(self) -> bool:
+        """True for UniPC (predictor-corrector carry)."""
+        return self.corr_ci is not None
 
     @property
     def is_ancestral(self) -> bool:
@@ -442,7 +605,56 @@ class DPMSolverMultistep:
         if self.is_ancestral:
             xs["noise_sigma"] = jnp.asarray(self.noise_sigma, dtype=jnp.float32)
             xs["i"] = jnp.arange(self.num_steps, dtype=jnp.int32)
+        if self.has_corrector:
+            xs["corr_ci"] = jnp.asarray(self.corr_ci, dtype=jnp.float32)
+            xs["corr_a"] = jnp.asarray(self.corr_a, dtype=jnp.float32)
+            xs["corr_b_this"] = jnp.asarray(self.corr_b_this, dtype=jnp.float32)
+            xs["corr_b_prev"] = jnp.asarray(self.corr_b_prev, dtype=jnp.float32)
+            xs["corr_b_pp"] = jnp.asarray(self.corr_b_pp, dtype=jnp.float32)
         return xs
+
+    # ------------------------------------------------------------------
+    # generic carry API — the denoise scan (engine/inference.py) is written
+    # against these three methods so multistep predictor-corrector solvers
+    # (UniPC) ride the same scan as the (x, m_prev) family.
+
+    def init_carry(self, latents: jnp.ndarray) -> tuple:
+        z = jnp.zeros_like(latents)
+        if self.has_corrector:
+            return (latents, z, z, z)  # (x, x_prev_corrected, m_prev, m_pp)
+        return (latents, z)  # (x, m_prev)
+
+    @staticmethod
+    def latent(carry: tuple) -> jnp.ndarray:
+        """The latent the model should be evaluated on this step."""
+        return carry[0]
+
+    @staticmethod
+    def replace_latent(carry: tuple, lat: jnp.ndarray) -> tuple:
+        return (lat,) + tuple(carry[1:])
+
+    def advance(self, step_xs: dict, carry: tuple, eps: jnp.ndarray) -> tuple:
+        """One solver update: corrector (if any) then predictor.
+
+        `eps` is the model output at `latent(carry)` — the UNCORRECTED
+        sample, matching diffusers' convert-before-correct ordering."""
+        if not self.has_corrector:
+            lat, m_prev = carry
+            lat, m = self.step(step_xs, lat, eps, m_prev)
+            return (lat, m)
+        lat, x_prev, m_prev, m_pp = carry
+        dt = lat.dtype
+        g = lambda k: step_xs[k].astype(dt)
+        m = (lat - g("eps_coef") * eps) * g("x0_scale")
+        lat_c = (
+            g("corr_ci") * lat
+            + g("corr_a") * x_prev
+            + g("corr_b_this") * m
+            + g("corr_b_prev") * m_prev
+            + g("corr_b_pp") * m_pp
+        )
+        nxt = g("a") * lat_c + g("b") * m + g("c") * m_prev
+        return (nxt, lat_c, m, m_prev)
 
     def step(
         self,
@@ -488,9 +700,11 @@ SCHEDULER_NAMES = (
     "ddim",
     "euler",
     "euler_a",
+    "unipc",
     "dpm_karras",
     "euler_karras",
     "euler_a_karras",
+    "unipc_karras",
 )
 
 
@@ -521,6 +735,10 @@ def make_solver(
             num_inference_steps,
             ancestral=name == "euler_a",
             use_karras_sigmas=use_karras_sigmas,
+        )
+    if name == "unipc":
+        return DPMSolverMultistep.create_unipc(
+            schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
         )
     raise ValueError(
         f"unknown scheduler: {name!r} (expected one of {SCHEDULER_NAMES})"

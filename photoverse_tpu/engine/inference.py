@@ -281,15 +281,25 @@ def denoise(
         else (lambda t: t)
     )
 
-    def body(carry, x):
-        lat, m_prev = carry
-        eps = eps_fn(lat, x["t"])
-        lat, m = solver.step(x, lat, eps, m_prev)
-        if is_ancestral:
-            lat = lat + x["noise_sigma"].astype(lat.dtype) * _step_noise(x["i"])
-        return (constrain(lat), constrain(m)), None
+    # the scan carry is solver-defined ((x, m_prev) for the DPM/DDIM/Euler
+    # family, (x, x_prev, m_prev, m_pp) for UniPC's predictor-corrector) —
+    # every leaf is latent-shaped, so the spatial-parallel constraint maps
+    # over the whole tuple
+    c_all = lambda carry: jax.tree.map(constrain, carry)
 
-    carry = (constrain(latents), jnp.zeros_like(latents))
+    def _advance(x, carry, eps):
+        carry = solver.advance(x, carry, eps)
+        if is_ancestral:
+            lat = solver.latent(carry)
+            lat = lat + x["noise_sigma"].astype(lat.dtype) * _step_noise(x["i"])
+            carry = solver.replace_latent(carry, lat)
+        return c_all(carry)
+
+    def body(carry, x):
+        eps = eps_fn(solver.latent(carry), x["t"])
+        return _advance(x, carry, eps), None
+
+    carry = c_all(solver.init_carry(latents))
     if n_scan > 0:
         xs_scan = jax.tree.map(lambda v: v[:n_scan], xs)
         carry, _ = jax.lax.scan(body, carry, xs_scan)
@@ -297,7 +307,7 @@ def denoise(
             carry = jax.lax.stop_gradient(carry)
     for i in range(n_scan, n):
         x = jax.tree.map(lambda v: v[i], xs)
-        lat, m_prev = carry
+        lat = solver.latent(carry)
         if train:
             step_key = jax.random.fold_in(fusion_rng, i)
             drop_key = (
@@ -311,11 +321,8 @@ def denoise(
             )
         else:
             eps = eps_fn(lat, x["t"], use_cache=False)
-        lat, m = solver.step(x, lat, eps, m_prev)
-        if is_ancestral:
-            lat = lat + x["noise_sigma"].astype(lat.dtype) * _step_noise(x["i"])
-        carry = (constrain(lat), constrain(m))
-    return carry[0]
+        carry = _advance(x, carry, eps)
+    return solver.latent(carry)
 
 
 def run_inference(

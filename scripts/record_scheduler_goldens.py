@@ -229,6 +229,45 @@ def main():
         json.dump(anc_record, f)
     print(f"wrote {anc_out}")
 
+    # UniPC (bh2, order 2, corrector on) — plain + Karras grids; consumed
+    # by tests/test_scheduler_goldens.py::test_unipc_diffusers_goldens
+    from diffusers import UniPCMultistepScheduler
+
+    for karras, fname in ((False, "unipc_goldens_diffusers.json"),
+                          (True, "unipc_karras_goldens_diffusers.json")):
+        rec = {"model": "eps = 0.1 * x", "seed": 1234,
+               "shape": [2, 4, 4, 4], "runs": {}}
+        for n in STEPS:
+            sched = UniPCMultistepScheduler(
+                num_train_timesteps=1000,
+                beta_start=0.00085,
+                beta_end=0.012,
+                beta_schedule="scaled_linear",
+                prediction_type="epsilon",
+                solver_order=2,
+                solver_type="bh2",
+                predict_x0=True,
+                lower_order_final=True,
+                timestep_spacing="linspace",
+                final_sigmas_type="zero",
+                use_karras_sigmas=karras,
+            )
+            sched.set_timesteps(n)
+            x = torch.from_numpy(
+                np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+            )
+            for t in sched.timesteps:
+                eps = 0.1 * x
+                x = sched.step(eps, t, x).prev_sample
+            rec["runs"][str(n)] = {
+                "timesteps": [int(t) for t in sched.timesteps],
+                "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+            }
+        out = os.path.join(os.path.dirname(OUT), fname)
+        with open(out, "w") as f:
+            json.dump(rec, f)
+        print(f"wrote {out}")
+
 
 if __name__ == "__main__":
     sys.exit(main())

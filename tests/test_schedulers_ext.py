@@ -266,6 +266,199 @@ def test_euler_a_denoise_rows_independent_of_batch():
     assert float(np.abs(np.asarray(imgs_alt) - np.asarray(imgs1)).max()) > 1e-4
 
 
+class _StatefulUniPC:
+    """Independent stateful UniPC (bh2, predict_x0, order 2, corrector on)
+    mirroring diffusers' UniPCMultistepScheduler control flow: generic
+    R-matrix/b-vector corrector solve, fixed midpoint rhos_p=[0.5] at
+    predictor order 2, this_order carried across the corrector boundary."""
+
+    def __init__(self, sigmas, N, order=2):
+        self.sigmas = sigmas
+        self.N = N
+        self.order = order
+        self.model_outputs = []
+        self.last_sample = None
+        self.lower_order_nums = 0
+        self.this_order = None
+
+    @staticmethod
+    def _split(sig):
+        a = 1.0 / np.sqrt(sig**2 + 1.0)
+        return a, sig * a
+
+    def _lam(self, sig):
+        a, s = self._split(sig)
+        return np.log(a / s)
+
+    def _uni_c(self, m_t, last_sample, order, i):
+        s0, t = self.sigmas[i - 1], self.sigmas[i]
+        a_t, sig_t = self._split(t)
+        a_s0, sig_s0 = self._split(s0)
+        h = self._lam(t) - self._lam(s0)
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = h_phi_1  # bh2
+        m0 = self.model_outputs[-1]
+        rks, D1s = [], []
+        for k in range(1, order):
+            rk = (self._lam(self.sigmas[i - 1 - k]) - self._lam(s0)) / h
+            rks.append(rk)
+            D1s.append((self.model_outputs[-(k + 1)] - m0) / rk)
+        rks.append(1.0)
+        R, bv = [], []
+        h_phi_k = h_phi_1 / hh - 1.0
+        fact = 1
+        for k in range(1, order + 1):
+            R.append(np.power(np.asarray(rks), k - 1))
+            bv.append(h_phi_k * fact / B_h)
+            fact *= k + 1
+            h_phi_k = h_phi_k / hh - 1.0 / fact
+        if order == 1:
+            rhos = np.array([0.5])
+        else:
+            rhos = np.linalg.solve(np.stack(R), np.asarray(bv))
+        x_t_ = (sig_t / sig_s0) * last_sample - a_t * h_phi_1 * m0
+        corr = sum(rhos[k] * D1s[k] for k in range(len(D1s)))
+        return x_t_ - a_t * B_h * (corr + rhos[-1] * (m_t - m0))
+
+    def _uni_p(self, sample, order, i):
+        s0, t = self.sigmas[i], self.sigmas[i + 1]
+        m0 = self.model_outputs[-1]
+        if t == 0.0:
+            assert order == 1
+            return m0
+        a_t, sig_t = self._split(t)
+        a_s0, sig_s0 = self._split(s0)
+        h = self._lam(t) - self._lam(s0)
+        hh = -h
+        h_phi_1 = np.expm1(hh)
+        B_h = h_phi_1
+        x_t_ = (sig_t / sig_s0) * sample - a_t * h_phi_1 * m0
+        if order == 2:
+            rk = (self._lam(self.sigmas[i - 1]) - self._lam(s0)) / h
+            D1 = (self.model_outputs[-2] - m0) / rk
+            return x_t_ - a_t * B_h * 0.5 * D1
+        return x_t_
+
+    def step(self, eps, i, x):
+        a_s0, sig_s0 = self._split(self.sigmas[i])
+        m = (x - sig_s0 * eps) / a_s0  # converted from the UNCORRECTED x
+        if i > 0:
+            x = self._uni_c(m, self.last_sample, self.this_order, i)
+        self.model_outputs.append(m)
+        self.this_order = min(min(self.order, self.N - i),
+                              self.lower_order_nums + 1)
+        self.last_sample = x
+        x_next = self._uni_p(x, self.this_order, i)
+        if self.lower_order_nums < self.order:
+            self.lower_order_nums += 1
+        return x_next, x
+
+
+def _drive_static(solver, eps_seq, x0_init):
+    """Run the static-coefficient carry through advance(), returning the
+    per-step (next_sample, corrected_sample) pairs."""
+    import jax
+
+    xs = solver.scan_inputs()
+    carry = solver.init_carry(jnp.asarray(x0_init, jnp.float32))
+    out = []
+    for i in range(solver.num_steps):
+        step_in = jax.tree.map(lambda v: v[i], xs)
+        carry = solver.advance(step_in, carry, jnp.asarray(eps_seq[i], jnp.float32))
+        out.append((np.asarray(carry[0], np.float64),
+                    np.asarray(carry[1], np.float64)))
+    return out
+
+
+@pytest.mark.parametrize("karras", [False, True])
+def test_unipc_matches_stateful_formulation(karras):
+    """Static corrector+predictor coefficients vs the independent stateful
+    UniPC above, step by step (both next samples and corrected samples)."""
+    sch = make_sd15_schedule()
+    for n in (3, 6, 25):
+        solver = make_solver(sch, "unipc", n, use_karras_sigmas=karras)
+        assert solver.has_corrector
+        rng = np.random.RandomState(n)
+        x_init = rng.randn(2, 4, 4, 4).astype(np.float64)
+        eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+
+        mine = _drive_static(solver, eps_seq, x_init)
+        ref = _StatefulUniPC(solver.sigmas, n)
+        x = x_init.copy()
+        for i in range(n):
+            x_next, x_corr = ref.step(eps_seq[i], i, x)
+            np.testing.assert_allclose(
+                mine[i][1], x_corr, rtol=1e-4, atol=1e-5,
+                err_msg=f"n={n} karras={karras} corrected sample step {i}",
+            )
+            np.testing.assert_allclose(
+                mine[i][0], x_next, rtol=1e-4, atol=1e-5,
+                err_msg=f"n={n} karras={karras} next sample step {i}",
+            )
+            x = x_next
+
+
+def test_unipc_exact_for_consistent_model():
+    """With eps consistent with a fixed x0 every x0-prediction equals x0,
+    all difference terms vanish, and both corrector and predictor are the
+    exact transition maps — the solver must recover x0 exactly."""
+    sch = make_sd15_schedule()
+    import jax
+
+    for n in (5, 25):
+        solver = make_solver(sch, "unipc", n)
+        rng = np.random.RandomState(1)
+        x0_true = rng.randn(1, 4, 8, 8).astype(np.float32)
+        noise = rng.randn(1, 4, 8, 8).astype(np.float32)
+        sigma0 = solver.sigmas[0]
+        alpha0 = 1.0 / np.sqrt(sigma0**2 + 1)
+        x = jnp.asarray(alpha0 * x0_true + sigma0 * alpha0 * noise)
+        xs = solver.scan_inputs()
+        carry = solver.init_carry(x)
+        for i in range(n):
+            step = jax.tree.map(lambda v: v[i], xs)
+            lat = solver.latent(carry)
+            eps = (lat - jnp.asarray(x0_true) / step["x0_scale"]) / step["eps_coef"]
+            carry = solver.advance(step, carry, eps)
+        np.testing.assert_allclose(
+            np.asarray(solver.latent(carry)), x0_true, rtol=2e-4, atol=2e-4
+        )
+
+
+def test_unipc_predictor_equals_dpm_when_corrector_disabled():
+    """bh2 order-2 predictor == DPM-Solver++(2M) midpoint: with the
+    corrector zeroed out, the (a, b, c) trajectories must coincide except
+    where the warmup/final order rules differ (UniPC has no N<15
+    second-to-last forcing; both force first order at the final zero-sigma
+    step and the warmup step). Checked at N=25 where the rules agree."""
+    sch = make_sd15_schedule()
+    n = 25
+    uni = make_solver(sch, "unipc", n)
+    dpm = make_solver(sch, "dpm", n)
+    np.testing.assert_allclose(uni.a, dpm.a, rtol=1e-12)
+    np.testing.assert_allclose(uni.b, dpm.b, rtol=1e-12, atol=1e-15)
+    np.testing.assert_allclose(uni.c, dpm.c, rtol=1e-12, atol=1e-15)
+
+
+def test_unipc_denoise_runs_jitted():
+    from photoverse_tpu.engine.inference import run_inference
+    from tiny_models import LATENT, tiny_batch, tiny_bundle
+
+    modules, params = tiny_bundle()
+    solver = make_solver(modules.schedule, "unipc", 4)
+    batch = tiny_batch(B=1, seed=6)
+    ex = {k: jnp.asarray(v) for k, v in batch.items()}
+    fn = jax.jit(
+        lambda p, e, r: run_inference(
+            modules, p, solver, e, r,
+            guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        )
+    )
+    imgs = fn(params, ex, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(imgs)))
+
+
 def test_euler_denoise_runs_jitted():
     """Plain Euler end-to-end under jit (fractional float32 timesteps feed
     the sinusoidal embedding, like diffusers)."""
