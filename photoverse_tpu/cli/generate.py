@@ -78,14 +78,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "form the data axis)")
     p.add_argument("--scheduler", type=str, default="dpm",
                    choices=["dpm", "ddim", "euler", "euler_a", "unipc",
-                            "dpm_karras", "euler_karras", "euler_a_karras",
-                            "unipc_karras"],
+                            "dpm_sde", "dpm_karras", "euler_karras",
+                            "euler_a_karras", "unipc_karras",
+                            "dpm_sde_karras"],
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
                         "ddim: DDIM eta=0 (BASELINE.json's 50-step-DDIM "
                         "metric wording); euler / euler_a: (ancestral) "
                         "Euler discrete; unipc: UniPC bh2 "
-                        "predictor-corrector; *_karras: same sampler on "
-                        "the Karras rho-7 sigma grid (diffusers "
+                        "predictor-corrector; dpm_sde: sde-dpmsolver++ "
+                        "midpoint ('DPM++ 2M SDE'); *_karras: same sampler "
+                        "on the Karras rho-7 sigma grid (diffusers "
                         "use_karras_sigmas=True)")
     p.add_argument("--karras_sigmas", action="store_true",
                    help="Karras rho-7 sigma grid for the chosen scheduler "

@@ -186,6 +186,7 @@ class DPMSolverMultistep:
         solver_order: int = 2,
         lower_order_final: bool = True,
         use_karras_sigmas: bool = False,
+        sde: bool = False,
     ) -> "DPMSolverMultistep":
         T = schedule.num_train_timesteps
         abar = schedule.alphas_cumprod
@@ -224,6 +225,7 @@ class DPMSolverMultistep:
         c = np.zeros(N)
         eps_coef = np.zeros(N)
         x0_scale = np.zeros(N)
+        noise_sig = np.zeros(N)
 
         lower_order_nums = 0
         for i in range(N):
@@ -246,15 +248,34 @@ class DPMSolverMultistep:
             )
 
             if sigma_t == 0.0:
-                # exact limit: lambda_t -> inf, exp(-h) -> 0, and first order
-                # is forced above, so x_t = x0-prediction exactly.
+                # exact limit: lambda_t -> inf, exp(-h) -> 0 (ODE) and
+                # exp(-2h) -> 0 (SDE), first order forced above, so
+                # x_t = x0-prediction exactly and the SDE noise term is 0.
                 a[i], b[i], c[i] = 0.0, 1.0, 0.0
             else:
                 lam_t = np.log(alpha_t / sig_t)
                 lam_s0 = np.log(alpha_s0 / sig_s0)
                 h = lam_t - lam_s0
                 em1 = np.expm1(-h)  # exp(-h) - 1
-                if use_first_order:
+                if sde:
+                    # sde-dpmsolver++ (midpoint): the "DPM++ 2M SDE" sampler.
+                    # x_t = (sig_t/sig_s0) e^{-h} x + alpha_t(1 - e^{-2h})
+                    #       [D0 + 0.5 D1] + sig_t sqrt(1 - e^{-2h}) z,
+                    # D0 = m0, D1 = (m0 - m1)/r0
+                    e_h = np.exp(-h)
+                    e_2h = -np.expm1(-2.0 * h)  # 1 - exp(-2h)
+                    a[i] = (sig_t / sig_s0) * e_h
+                    noise_sig[i] = sig_t * np.sqrt(e_2h)
+                    if use_first_order:
+                        b[i] = alpha_t * e_2h
+                    else:
+                        sigma_s1 = sigmas[i - 1]
+                        alpha_s1, sig_s1 = split(sigma_s1)
+                        lam_s1 = np.log(alpha_s1 / sig_s1)
+                        r0 = (lam_s0 - lam_s1) / h
+                        b[i] = alpha_t * e_2h * (1.0 + 0.5 / r0)
+                        c[i] = -alpha_t * e_2h * 0.5 / r0
+                elif use_first_order:
                     a[i] = sig_t / sig_s0
                     b[i] = -alpha_t * em1
                     c[i] = 0.0
@@ -277,6 +298,7 @@ class DPMSolverMultistep:
             c=c,
             eps_coef=eps_coef,
             x0_scale=x0_scale,
+            noise_sigma=noise_sig if sde else None,
         )
 
     @staticmethod
@@ -701,10 +723,12 @@ SCHEDULER_NAMES = (
     "euler",
     "euler_a",
     "unipc",
+    "dpm_sde",
     "dpm_karras",
     "euler_karras",
     "euler_a_karras",
     "unipc_karras",
+    "dpm_sde_karras",
 )
 
 
@@ -724,6 +748,11 @@ def make_solver(
     if name == "dpm":
         return DPMSolverMultistep.create(
             schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
+        )
+    if name == "dpm_sde":
+        return DPMSolverMultistep.create(
+            schedule, num_inference_steps,
+            use_karras_sigmas=use_karras_sigmas, sde=True,
         )
     if name == "ddim":
         if use_karras_sigmas:

@@ -229,6 +229,54 @@ def main():
         json.dump(anc_record, f)
     print(f"wrote {anc_out}")
 
+    # DPM++ 2M SDE (algorithm_type "sde-dpmsolver++", midpoint) — plain +
+    # Karras grids. The scheduler draws its per-step noise internally from
+    # `generator`; a twin generator captures the identical draws (one
+    # randn per step) so the offline consumer can replay without torch.
+    # Consumed by tests/test_scheduler_goldens.py::test_dpm_sde_diffusers_goldens
+    for karras, fname in ((False, "dpm_sde_goldens_diffusers.json"),
+                          (True, "dpm_sde_karras_goldens_diffusers.json")):
+        rec = {"model": "eps = 0.1 * x", "seed": 1234, "noise_seed": 4321,
+               "shape": [2, 4, 4, 4], "runs": {}}
+        for n in STEPS:
+            sched = DPMSolverMultistepScheduler(
+                num_train_timesteps=1000,
+                beta_start=0.00085,
+                beta_end=0.012,
+                beta_schedule="scaled_linear",
+                algorithm_type="sde-dpmsolver++",
+                solver_order=2,
+                solver_type="midpoint",
+                lower_order_final=True,
+                timestep_spacing="linspace",
+                final_sigmas_type="zero",
+                prediction_type="epsilon",
+                use_karras_sigmas=karras,
+            )
+            sched.set_timesteps(n)
+            g = torch.Generator().manual_seed(4321)
+            g_twin = torch.Generator().manual_seed(4321)
+            x = torch.from_numpy(
+                np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+            )
+            noises = []
+            for t in sched.timesteps:
+                eps = 0.1 * x
+                x = sched.step(eps, t, x, generator=g).prev_sample
+                noises.append(
+                    torch.randn(x.shape, generator=g_twin, dtype=x.dtype)
+                    .numpy().astype(np.float64).ravel().tolist()
+                )
+            rec["runs"][str(n)] = {
+                "timesteps": [int(t) for t in sched.timesteps],
+                "noises": noises,
+                "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+            }
+        out = os.path.join(os.path.dirname(OUT), fname)
+        with open(out, "w") as f:
+            json.dump(rec, f)
+        print(f"wrote {out}")
+
     # UniPC (bh2, order 2, corrector on) — plain + Karras grids; consumed
     # by tests/test_scheduler_goldens.py::test_unipc_diffusers_goldens
     from diffusers import UniPCMultistepScheduler

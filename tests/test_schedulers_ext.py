@@ -216,7 +216,9 @@ def test_make_solver_factory():
     for name in SCHEDULER_NAMES:
         s = make_solver(sch, name, 6)
         assert s.num_steps == 6
-        assert s.is_ancestral == name.startswith("euler_a")
+        assert s.is_ancestral == (
+            name.startswith("euler_a") or name.startswith("dpm_sde")
+        )
     # karras via flag == karras via suffix
     a = make_solver(sch, "dpm_karras", 8)
     b = make_solver(sch, "dpm", 8, use_karras_sigmas=True)
@@ -264,6 +266,90 @@ def test_euler_a_denoise_rows_independent_of_batch():
         initial_noise=noise[1:], ancestral_keys=jax.random.split(jax.random.PRNGKey(7), 1),
     )
     assert float(np.abs(np.asarray(imgs_alt) - np.asarray(imgs1)).max()) > 1e-4
+
+
+@pytest.mark.parametrize("karras", [False, True])
+def test_dpm_sde_marginal_preservation(karras):
+    """Analytic invariant of sde-dpmsolver++ ("DPM++ 2M SDE"): when every
+    x0-prediction equals the true x0 (D1 = 0), each step maps the EXACT
+    marginal at sigma_s to the EXACT marginal at sigma_t —
+        mean:  a * alpha_s + (b + c) == alpha_t
+        var:   a^2 * (sig_s*alpha_s)^2 + noise_sigma^2 == (sig_t*alpha_t)^2
+    This pins both the deterministic coefficients and the noise schedule
+    without reference to any other implementation."""
+    sch = make_sd15_schedule()
+    for n in (5, 12, 50):
+        solver = make_solver(sch, "dpm_sde", n, use_karras_sigmas=karras)
+        assert solver.is_ancestral
+        for i in range(n):
+            sig_s, sig_t = solver.sigmas[i], solver.sigmas[i + 1]
+            a_s = 1.0 / np.sqrt(sig_s**2 + 1)
+            a_t = 1.0 / np.sqrt(sig_t**2 + 1)
+            mean = solver.a[i] * a_s + solver.b[i] + solver.c[i]
+            np.testing.assert_allclose(mean, a_t, rtol=1e-9,
+                                       err_msg=f"mean n={n} step {i}")
+            var = (solver.a[i] * sig_s * a_s) ** 2 + solver.noise_sigma[i] ** 2
+            np.testing.assert_allclose(var, (sig_t * a_t) ** 2,
+                                       rtol=1e-9, atol=1e-14,
+                                       err_msg=f"var n={n} step {i}")
+        # final step is the exact x0 handoff with no noise
+        assert solver.noise_sigma[-1] == 0.0
+        assert solver.a[-1] == 0.0 and solver.b[-1] == 1.0
+
+
+def test_dpm_sde_matches_stateful_formulation():
+    """Static coefficients vs an independently-written stateful
+    sde-dpmsolver++ midpoint update (diffusers algorithm_type
+    "sde-dpmsolver++", solver_type "midpoint"), shared noise sequence."""
+    sch = make_sd15_schedule()
+    n = 9
+    solver = make_solver(sch, "dpm_sde", n)
+    sigmas = solver.sigmas
+    rng = np.random.RandomState(13)
+    x_mine = rng.randn(2, 4, 4, 4).astype(np.float64)
+    x_ref = x_mine.copy()
+    eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+    z_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+
+    xs = solver.scan_inputs()
+    m_prev = np.zeros_like(x_mine)
+    m_hist = []
+    for i in range(n):
+        step = {k: np.asarray(v[i], np.float64) for k, v in xs.items()}
+        m = (x_mine - step["eps_coef"] * eps_seq[i]) * step["x0_scale"]
+        x_mine = (step["a"] * x_mine + step["b"] * m + step["c"] * m_prev
+                  + step["noise_sigma"] * z_seq[i])
+        m_prev = m
+
+        # stateful reference
+        s0, t = sigmas[i], sigmas[i + 1]
+        a_s0 = 1 / np.sqrt(s0**2 + 1)
+        sg_s0 = s0 * a_s0
+        m0 = (x_ref - sg_s0 * eps_seq[i]) / a_s0
+        m_hist.append(m0)
+        first_order = i == 0 or i == n - 1 or (i == n - 2 and n < 15)
+        if t == 0.0:
+            x_ref = m0
+        else:
+            a_t = 1 / np.sqrt(t**2 + 1)
+            sg_t = t * a_t
+            h = np.log(a_t / sg_t) - np.log(a_s0 / sg_s0)
+            e_h = np.exp(-h)
+            e_2h = 1.0 - np.exp(-2.0 * h)
+            det = (sg_t / sg_s0) * e_h * x_ref
+            if first_order:
+                det = det + a_t * e_2h * m0
+            else:
+                s1 = sigmas[i - 1]
+                a_s1 = 1 / np.sqrt(s1**2 + 1)
+                sg_s1 = s1 * a_s1
+                r0 = (np.log(a_s0 / sg_s0) - np.log(a_s1 / sg_s1)) / h
+                D1 = (m0 - m_hist[-2]) / r0
+                det = det + a_t * e_2h * (m0 + 0.5 * D1)
+            x_ref = det + sg_t * np.sqrt(e_2h) * z_seq[i]
+        np.testing.assert_allclose(
+            x_mine, x_ref, rtol=1e-4, atol=1e-7, err_msg=f"step {i}",
+        )
 
 
 class _StatefulUniPC:
