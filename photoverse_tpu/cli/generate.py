@@ -76,11 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Model-axis size for --sharding spatial|tensor "
                         "(0 = all local devices; the rest of the devices "
                         "form the data axis)")
+    from photoverse_tpu.core.schedulers import SCHEDULER_NAMES
+
     p.add_argument("--scheduler", type=str, default="dpm",
-                   choices=["dpm", "ddim", "euler", "euler_a", "unipc",
-                            "dpm_sde", "dpm_karras", "euler_karras",
-                            "euler_a_karras", "unipc_karras",
-                            "dpm_sde_karras"],
+                   choices=list(SCHEDULER_NAMES),
                    help="dpm: DPM-Solver++(2M) (reference infer.py:39-40); "
                         "ddim: DDIM eta=0 (BASELINE.json's 50-step-DDIM "
                         "metric wording); euler / euler_a: (ancestral) "
@@ -169,6 +168,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.input_image_path is None:
         raise SystemExit("--input_image_path is required")
+    if args.karras_sigmas and args.scheduler.startswith("ddim"):
+        # fail before the multi-GB model load; make_solver would reject it
+        raise SystemExit(
+            "--karras_sigmas is invalid with --scheduler ddim (DDIM's grid "
+            "is defined by its leading spacing; pick euler/dpm/unipc "
+            "variants for Karras sigmas)"
+        )
     if args.cpu:
         from photoverse_tpu.utils.platform import force_cpu
 

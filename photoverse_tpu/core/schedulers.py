@@ -63,6 +63,59 @@ def _sigma_to_t(sigma: np.ndarray, log_sigmas: np.ndarray) -> np.ndarray:
     return (1.0 - w) * low_idx + w * high_idx
 
 
+def _solver_grid(
+    schedule: "DDPMSchedule",
+    num_inference_steps: int,
+    use_karras_sigmas: bool,
+    integer_timesteps: bool,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Shared inference timestep + sigma grid for every sampler family.
+
+    Returns ``(timesteps, sigmas)`` with ``sigmas`` carrying the trailing 0.0
+    (diffusers ``final_sigmas_type="zero"``).  ``use_karras_sigmas`` selects
+    the Karras rho-7 grid over the full table's sigma range with timesteps
+    recovered by log-sigma interpolation; otherwise linspace spacing.
+    ``integer_timesteps`` matches the sampler family's convention: the
+    multistep solvers (DPM++/UniPC) round to integer train timesteps
+    (linspace over N+1 points, drop the last), while the Euler family keeps
+    fractional float timesteps (linspace over N points) — both exactly as
+    diffusers sets them up.
+    """
+    T = schedule.num_train_timesteps
+    abar = schedule.alphas_cumprod
+    sigmas_full = np.sqrt((1.0 - abar) / abar)
+    if use_karras_sigmas:
+        sigmas = _karras_sigmas(
+            float(sigmas_full[0]), float(sigmas_full[-1]), num_inference_steps
+        )
+        timesteps = _sigma_to_t(sigmas, np.log(sigmas_full))
+        if integer_timesteps:
+            timesteps = timesteps.round().astype(np.int64)
+    else:
+        if integer_timesteps:
+            timesteps = (
+                np.linspace(0, T - 1, num_inference_steps + 1)
+                .round()[::-1][:-1]
+                .astype(np.int64)
+            )
+        else:
+            timesteps = np.linspace(
+                0, T - 1, num_inference_steps, dtype=np.float64
+            )[::-1].copy()
+        sigmas = np.interp(
+            timesteps.astype(np.float64), np.arange(T), sigmas_full
+        )
+    sigmas = np.concatenate([sigmas, [0.0]])
+    return timesteps, sigmas
+
+
+def _vp_split(sig: float) -> Tuple[float, float]:
+    """VE sigma -> (alpha_t, sigma_t) in VP parametrization:
+    alpha_t = 1/sqrt(sig^2+1), sigma_t = sig*alpha_t (so alpha^2+sigma^2=1)."""
+    alpha_t = 1.0 / np.sqrt(sig**2 + 1.0)
+    return alpha_t, sig * alpha_t
+
+
 @dataclasses.dataclass(frozen=True)
 class DDPMSchedule:
     """Closed-form forward-diffusion schedule.
@@ -188,36 +241,15 @@ class DPMSolverMultistep:
         use_karras_sigmas: bool = False,
         sde: bool = False,
     ) -> "DPMSolverMultistep":
-        T = schedule.num_train_timesteps
-        abar = schedule.alphas_cumprod
-        sigmas_full = np.sqrt((1.0 - abar) / abar)
-        if use_karras_sigmas:
-            # Karras rho-7 grid over the full table's sigma range; integer
-            # timesteps recovered by log-sigma interpolation + round, the
-            # exact `use_karras_sigmas=True` semantics of diffusers'
-            # DPMSolverMultistepScheduler (a.k.a. "DPM++ 2M Karras").
-            sigmas = _karras_sigmas(
-                float(sigmas_full[0]), float(sigmas_full[-1]), num_inference_steps
-            )
-            timesteps = (
-                _sigma_to_t(sigmas, np.log(sigmas_full)).round().astype(np.int64)
-            )
-        else:
-            # linspace spacing, matching the reference sampler's timestep grid.
-            timesteps = (
-                np.linspace(0, T - 1, num_inference_steps + 1)
-                .round()[::-1][:-1]
-                .astype(np.int64)
-            )
-            sigmas = np.interp(
-                timesteps.astype(np.float64), np.arange(T), sigmas_full
-            )
-        sigmas = np.concatenate([sigmas, [0.0]])  # final_sigmas_type == "zero"
-
-        def split(sig):
-            alpha_t = 1.0 / np.sqrt(sig**2 + 1.0)
-            sigma_t = sig * alpha_t
-            return alpha_t, sigma_t
+        # Karras: integer timesteps recovered by log-sigma interpolation +
+        # round — the exact `use_karras_sigmas=True` semantics of diffusers'
+        # DPMSolverMultistepScheduler (a.k.a. "DPM++ 2M Karras").
+        # Otherwise linspace spacing, matching the reference sampler's grid.
+        timesteps, sigmas = _solver_grid(
+            schedule, num_inference_steps, use_karras_sigmas,
+            integer_timesteps=True,
+        )
+        split = _vp_split
 
         N = num_inference_steps
         a = np.zeros(N)
@@ -391,20 +423,10 @@ class DPMSolverMultistep:
         init_noise_sigma is sigma_max expressed in VP space
         (alpha_max * sigma_max), matching diffusers' VE-space sigma_max.
         """
-        T = schedule.num_train_timesteps
-        abar = schedule.alphas_cumprod
-        sigmas_full = np.sqrt((1.0 - abar) / abar)
-        if use_karras_sigmas:
-            sigmas = _karras_sigmas(
-                float(sigmas_full[0]), float(sigmas_full[-1]), num_inference_steps
-            )
-            timesteps = _sigma_to_t(sigmas, np.log(sigmas_full))
-        else:
-            timesteps = np.linspace(
-                0, T - 1, num_inference_steps, dtype=np.float64
-            )[::-1].copy()
-            sigmas = np.interp(timesteps, np.arange(T), sigmas_full)
-        sigmas = np.concatenate([sigmas, [0.0]])
+        timesteps, sigmas = _solver_grid(
+            schedule, num_inference_steps, use_karras_sigmas,
+            integer_timesteps=False,
+        )
 
         N = num_inference_steps
         a = np.zeros(N)
@@ -467,30 +489,11 @@ class DPMSolverMultistep:
         m_i is converted from the UNCORRECTED x_i, like diffusers
         (convert_model_output runs before multistep_uni_c_bh_update).
         """
-        T = schedule.num_train_timesteps
-        abar = schedule.alphas_cumprod
-        sigmas_full = np.sqrt((1.0 - abar) / abar)
-        if use_karras_sigmas:
-            sigmas = _karras_sigmas(
-                float(sigmas_full[0]), float(sigmas_full[-1]), num_inference_steps
-            )
-            timesteps = (
-                _sigma_to_t(sigmas, np.log(sigmas_full)).round().astype(np.int64)
-            )
-        else:
-            timesteps = (
-                np.linspace(0, T - 1, num_inference_steps + 1)
-                .round()[::-1][:-1]
-                .astype(np.int64)
-            )
-            sigmas = np.interp(
-                timesteps.astype(np.float64), np.arange(T), sigmas_full
-            )
-        sigmas = np.concatenate([sigmas, [0.0]])
-
-        def split(sig):
-            alpha_t = 1.0 / np.sqrt(sig**2 + 1.0)
-            return alpha_t, sig * alpha_t
+        timesteps, sigmas = _solver_grid(
+            schedule, num_inference_steps, use_karras_sigmas,
+            integer_timesteps=True,
+        )
+        split = _vp_split
 
         def lam(sig):
             a_t, s_t = split(sig)

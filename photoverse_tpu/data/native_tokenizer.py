@@ -108,9 +108,10 @@ class NativeCLIPTokenizer:
         L = max_length or self.model_max_length
         if not truncation:
             # keep the Python tokenizer's loud over-long contract (the C++
-            # encoder always truncates); cheap length check via Python BPE
-            for t in text:
-                self._py([t], truncation=False, max_length=L)
+            # encoder always truncates). The check requires full Python BPE
+            # anyway, so return its output directly instead of paying both
+            # tokenizers on this (cold, non-batch-hot) path.
+            return self._py(text, truncation=False, max_length=L)
         # the C++ path covers ASCII exactly (incl. '&': no unescape on
         # either path); non-ASCII falls back to Python
         native_ok = lambda t: t.isascii()
