@@ -463,6 +463,82 @@ class DPMSolverMultistep:
         )
 
     @staticmethod
+    def create_heun(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+        use_karras_sigmas: bool = False,
+    ) -> "DPMSolverMultistep":
+        """Heun (trapezoidal 2nd-order) as 2N-1 static-affine substeps.
+
+        Karras et al. (2022) Algorithm 1 / k-diffusion ``sample_heun``
+        (s_churn=0), the sampler diffusers exposes as HeunDiscreteScheduler:
+        each grid step does an Euler predictor to sigma_next followed by a
+        trapezoidal correction with a second model eval at sigma_next; the
+        final step (sigma_next == 0) is the plain Euler predictor, per the
+        algorithm's ``if sigma_next != 0`` guard. Both substeps are affine in
+        the carry the denoise scan already holds:
+
+          predictor (eval at t_i, input at sig_s):  the Euler map
+              x' = (alpha_t/alpha_s)(sig_t/sig_s) x + alpha_t (sig_s-sig_t)/sig_s m
+          corrector (eval at t_{i+1}, input x_pred at sig_t): in VE space
+              X' = X + dt/2 (d + d')  with  d = (X_pred - m_prev)/sig_t
+              (since X_pred - m_prev = sig_t d along the predictor line) and
+              d' = (X_pred - m')/sig_t, which collapses to
+              X' = X_pred + dt/(2 sig_t) (m_prev - m')  — the X_pred terms
+              cancel — i.e.  a=1, b=-alpha_t dt/(2 sig_t), c=+alpha_t dt/(2 sig_t).
+
+        So Heun rides the SAME one-model-eval-per-iteration `lax.scan` as
+        every other sampler here, with ``timesteps`` interleaved
+        [t_0, t_1, t_1, t_2, t_2, ...] exactly like diffusers'
+        repeat_interleave grid. N inference steps cost 2N-1 UNet evals.
+        """
+        timesteps, sigmas = _solver_grid(
+            schedule, num_inference_steps, use_karras_sigmas,
+            integer_timesteps=False,
+        )
+
+        N = num_inference_steps
+        sub_t, sub_sig = [], []
+        a, b, c, eps_coef, x0_scale = [], [], [], [], []
+        for i in range(N):
+            sig_s = sigmas[i]
+            sig_t = sigmas[i + 1]
+            alpha_s = 1.0 / np.sqrt(sig_s**2 + 1.0)
+            alpha_t = 1.0 / np.sqrt(sig_t**2 + 1.0)
+            # Euler predictor substep: input at sig_s, model eval at t_i
+            sub_t.append(timesteps[i])
+            sub_sig.append(sig_s)
+            eps_coef.append(sig_s * alpha_s)
+            x0_scale.append(1.0 / alpha_s)
+            a.append((alpha_t / alpha_s) * (sig_t / sig_s))
+            b.append(alpha_t * (sig_s - sig_t) / sig_s)
+            c.append(0.0)
+            if sig_t == 0.0:
+                continue  # final step: first order only (Karras alg. 1)
+            # trapezoidal corrector substep: input x_pred at sig_t, model
+            # eval at t_{i+1}; dt = sig_t - sig_s < 0
+            dt = sig_t - sig_s
+            sub_t.append(timesteps[i + 1])
+            sub_sig.append(sig_t)
+            eps_coef.append(sig_t * alpha_t)
+            x0_scale.append(1.0 / alpha_t)
+            a.append(1.0)
+            b.append(-alpha_t * dt / (2.0 * sig_t))
+            c.append(alpha_t * dt / (2.0 * sig_t))
+        sub_sig.append(0.0)
+        sig0 = float(sub_sig[0])
+        return DPMSolverMultistep(
+            timesteps=np.asarray(sub_t, np.float64),
+            sigmas=np.asarray(sub_sig, np.float64),
+            a=np.asarray(a),
+            b=np.asarray(b),
+            c=np.asarray(c),
+            eps_coef=np.asarray(eps_coef),
+            x0_scale=np.asarray(x0_scale),
+            init_noise_sigma=sig0 / np.sqrt(sig0**2 + 1.0),
+        )
+
+    @staticmethod
     def create_unipc(
         schedule: DDPMSchedule,
         num_inference_steps: int,
@@ -732,6 +808,8 @@ SCHEDULER_NAMES = (
     "euler_a_karras",
     "unipc_karras",
     "dpm_sde_karras",
+    "heun",
+    "heun_karras",
 )
 
 
@@ -770,6 +848,10 @@ def make_solver(
         )
     if name == "unipc":
         return DPMSolverMultistep.create_unipc(
+            schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
+        )
+    if name == "heun":
+        return DPMSolverMultistep.create_heun(
             schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
         )
     raise ValueError(

@@ -215,7 +215,8 @@ def test_make_solver_factory():
     sch = make_sd15_schedule()
     for name in SCHEDULER_NAMES:
         s = make_solver(sch, name, 6)
-        assert s.num_steps == 6
+        # heun spends 2 model evals per grid step (trapezoidal corrector)
+        assert s.num_steps == (11 if name.startswith("heun") else 6)
         assert s.is_ancestral == (
             name.startswith("euler_a") or name.startswith("dpm_sde")
         )
@@ -562,4 +563,137 @@ def test_euler_denoise_runs_jitted():
         )
     )
     imgs = fn(params, ex, jax.random.PRNGKey(1))
+    assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+# ---------------------------------------------------------------------------
+# Heun (trapezoidal 2nd order, Karras alg. 1 / diffusers HeunDiscreteScheduler)
+
+
+@pytest.mark.parametrize("karras", [False, True])
+def test_heun_matches_stateful_ve_formulation(karras):
+    """The interleaved static-affine substeps must reproduce the canonical
+    stateful VE-space Heun loop (k-diffusion sample_heun, s_churn=0):
+        d  = (X - x0(X, sig)) / sig
+        Xp = X + (sig' - sig) * d
+        d' = (Xp - x0(Xp, sig')) / sig'
+        X' = X + (sig' - sig) * (d + d') / 2      [plain Euler if sig' == 0]
+    driven by the same eps sequence (one eps per model eval), converted
+    step-by-step via x_VP = alpha * X_VE."""
+    sch = make_sd15_schedule()
+    for n in (2, 5, 9):
+        solver = DPMSolverMultistep.create_heun(
+            sch, n, use_karras_sigmas=karras
+        )
+        assert solver.num_steps == 2 * n - 1
+        # grid sigmas (per inference step) are the even-index substep sigmas
+        grid = DPMSolverMultistep.create_euler(
+            sch, n, use_karras_sigmas=karras
+        ).sigmas
+        rng = np.random.RandomState(31 + n)
+        z = rng.randn(2, 4, 4, 4).astype(np.float64)
+        eps_seq = [
+            rng.randn(2, 4, 4, 4).astype(np.float64)
+            for _ in range(solver.num_steps)
+        ]
+
+        # static-affine drive on the f64 coefficient arrays (scan_inputs
+        # casts exactly these to f32; the SD sigma range ~157 amplifies f32
+        # coefficient rounding past a step-by-step 1e-6 comparison)
+        x_vp = z * solver.init_noise_sigma
+        m_prev = np.zeros_like(x_vp)
+        for i in range(solver.num_steps):
+            m = (x_vp - solver.eps_coef[i] * eps_seq[i]) * solver.x0_scale[i]
+            x_vp = (
+                solver.a[i] * x_vp + solver.b[i] * m + solver.c[i] * m_prev
+            )
+            m_prev = m
+
+        # stateful VE reference consuming the same eps stream
+        x_ve = z * grid[0]
+        k = 0  # eps cursor
+        for i in range(n):
+            sig, sig_n = grid[i], grid[i + 1]
+            d = eps_seq[k]  # eps IS the VE derivative for epsilon-pred
+            k += 1
+            xp = x_ve + (sig_n - sig) * d
+            if sig_n == 0.0:
+                x_ve = xp
+            else:
+                d2 = eps_seq[k]
+                k += 1
+                x_ve = x_ve + (sig_n - sig) * (d + d2) / 2.0
+        assert k == solver.num_steps
+        alpha_final = 1.0  # final sigma is 0
+        np.testing.assert_allclose(
+            x_vp, alpha_final * x_ve, rtol=1e-6, atol=1e-8,
+            err_msg=f"n={n} karras={karras}",
+        )
+
+
+def test_heun_exact_for_sigma_linear_derivative():
+    """Trapezoidal integration is exact when the VE derivative is linear in
+    sigma: d(sig) = e0 + sig*e1 gives X(sig_b) = X(sig_a) + e0*(sig_b-sig_a)
+    + e1*(sig_b^2-sig_a^2)/2. Euler fails this at coarse grids; Heun must
+    land on the analytic endpoint (final sigma 0) to float tolerance."""
+    sch = make_sd15_schedule()
+    rng = np.random.RandomState(5)
+    e0 = rng.randn(1, 4, 4, 4)
+    e1 = 0.05 * rng.randn(1, 4, 4, 4)
+    for n in (5, 15):
+        solver = DPMSolverMultistep.create_heun(sch, n)
+        xs = solver.scan_inputs()
+        sub_sig = np.asarray(solver.sigmas)  # per-substep input sigmas
+        sig0 = sub_sig[0]
+        X0 = rng.randn(1, 4, 4, 4)
+        # analytic endpoint at sigma=0
+        X_exact = X0 + e0 * (0.0 - sig0) + e1 * (0.0 - sig0**2) / 2.0
+        x_vp = (1.0 / np.sqrt(sig0**2 + 1.0)) * X0
+        m_prev = np.zeros_like(x_vp)
+        for i in range(solver.num_steps):
+            step = {k: np.asarray(v[i], np.float64) for k, v in xs.items()}
+            eps = e0 + sub_sig[i] * e1  # d at this substep's input sigma
+            m = (x_vp - step["eps_coef"] * eps) * step["x0_scale"]
+            x_vp = step["a"] * x_vp + step["b"] * m + step["c"] * m_prev
+            m_prev = m
+        # the final first-order step integrates over [sig_{N-1}, 0] with only
+        # e0 (Euler): its e1 error is e1*sig_{N-1}^2/2 — exclude by comparing
+        # at the LAST nonzero grid point instead of 0 for the strict check.
+        np.testing.assert_allclose(
+            x_vp, X_exact, rtol=5e-3,
+            atol=float(np.max(np.abs(e1))) * float(sub_sig[-2]) ** 2,
+            err_msg=f"n={n}",
+        )
+
+
+def test_heun_interleaved_grid_matches_euler():
+    """timesteps are [t0, t1, t1, t2, t2, ...] (diffusers repeat_interleave)
+    and even-index substeps reproduce Euler's grid exactly."""
+    sch = make_sd15_schedule()
+    n = 7
+    heun = DPMSolverMultistep.create_heun(sch, n)
+    euler = DPMSolverMultistep.create_euler(sch, n)
+    t = np.asarray(euler.timesteps)
+    expect = np.concatenate([t[:1], np.repeat(t[1:], 2)])
+    np.testing.assert_allclose(np.asarray(heun.timesteps), expect)
+    np.testing.assert_allclose(heun.sigmas[0::2][: n], euler.sigmas[:-1])
+    assert heun.init_noise_sigma == euler.init_noise_sigma
+    assert not heun.is_ancestral and not heun.has_corrector
+
+
+def test_heun_denoise_runs_jitted():
+    from photoverse_tpu.engine.inference import run_inference
+    from tiny_models import LATENT, tiny_batch, tiny_bundle
+
+    modules, params = tiny_bundle()
+    solver = make_solver(modules.schedule, "heun", 3)
+    batch = tiny_batch(B=1, seed=6)
+    ex = {k: jnp.asarray(v) for k, v in batch.items()}
+    fn = jax.jit(
+        lambda p, e, r: run_inference(
+            modules, p, solver, e, r,
+            guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        )
+    )
+    imgs = fn(params, ex, jax.random.PRNGKey(2))
     assert np.all(np.isfinite(np.asarray(imgs)))
