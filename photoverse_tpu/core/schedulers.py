@@ -231,6 +231,10 @@ class DPMSolverMultistep:
     corr_b_this: Optional[np.ndarray] = None
     corr_b_prev: Optional[np.ndarray] = None
     corr_b_pp: Optional[np.ndarray] = None
+    # LMS (create_lms): (N, 4) integrated Adams-Bashforth coefficients on
+    # [d_this, d_prev, d_pp, d_ppp] (VE derivatives == model eps), already
+    # folded by alpha_{i+1}; the carry grows to (x, d_prev, d_pp, d_ppp).
+    lms_c: Optional[np.ndarray] = None
 
     @staticmethod
     def create(
@@ -463,6 +467,70 @@ class DPMSolverMultistep:
         )
 
     @staticmethod
+    def create_lms(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+        order: int = 4,
+        use_karras_sigmas: bool = False,
+    ) -> "DPMSolverMultistep":
+        """LMS (k-lms: 4th-order Adams-Bashforth over sigma) as static maps.
+
+        Semantics match diffusers' LMSDiscreteScheduler defaults (linspace
+        fractional timesteps, order ramping 1..4 over the warmup steps,
+        final integration segment ending at sigma 0). In VE space
+            X' = X + sum_j C[i,j] * d_{i-j},   d = eps (epsilon prediction),
+        where C[i,j] integrates the j-th Lagrange basis over
+        [sigma_i, sigma_{i+1}] — diffusers computes it with integrate.quad;
+        here the basis product is expanded with poly1d and integrated
+        EXACTLY (antiderivative evaluation), then folded into VP space:
+            x' = (alpha_{i+1}/alpha_i) x + alpha_{i+1} * sum_j C[i,j] d_{i-j}.
+        The scan carry holds the last three derivatives (x, d1, d2, d3);
+        advance() returns the model's eps as this step's derivative — for
+        epsilon prediction the VE derivative IS eps, evaluated on the
+        scaled input our VP latent already equals.
+        """
+        timesteps, sigmas = _solver_grid(
+            schedule, num_inference_steps, use_karras_sigmas,
+            integer_timesteps=False,
+        )
+        N = num_inference_steps
+        a = np.zeros(N)
+        eps_coef = np.zeros(N)
+        x0_scale = np.zeros(N)
+        lms_c = np.zeros((N, 4))
+        for i in range(N):
+            sig_s = sigmas[i]
+            sig_t = sigmas[i + 1]
+            alpha_s = 1.0 / np.sqrt(sig_s**2 + 1.0)
+            alpha_t = 1.0 / np.sqrt(sig_t**2 + 1.0)
+            eps_coef[i] = sig_s * alpha_s
+            x0_scale[i] = 1.0 / alpha_s
+            a[i] = alpha_t / alpha_s
+            cur_order = min(i + 1, order)
+            for j in range(cur_order):
+                # Lagrange basis L_j over nodes sigma_{i-k}, k=0..cur_order-1
+                poly = np.poly1d([1.0])
+                for k in range(cur_order):
+                    if k == j:
+                        continue
+                    denom = sigmas[i - j] - sigmas[i - k]
+                    poly = poly * np.poly1d([1.0 / denom, -sigmas[i - k] / denom])
+                anti = poly.integ()
+                lms_c[i, j] = alpha_t * (anti(sig_t) - anti(sig_s))
+        sig0 = float(sigmas[0])
+        return DPMSolverMultistep(
+            timesteps=timesteps,
+            sigmas=sigmas,
+            a=a,
+            b=np.zeros(N),
+            c=np.zeros(N),
+            eps_coef=eps_coef,
+            x0_scale=x0_scale,
+            init_noise_sigma=sig0 / np.sqrt(sig0**2 + 1.0),
+            lms_c=lms_c,
+        )
+
+    @staticmethod
     def create_heun(
         schedule: DDPMSchedule,
         num_inference_steps: int,
@@ -677,6 +745,11 @@ class DPMSolverMultistep:
         return self.corr_ci is not None
 
     @property
+    def has_lms(self) -> bool:
+        """True for LMS (derivative-history carry)."""
+        return self.lms_c is not None
+
+    @property
     def is_ancestral(self) -> bool:
         """True when any step injects fresh noise (the engine then needs
         per-row ancestral keys)."""
@@ -712,6 +785,8 @@ class DPMSolverMultistep:
             xs["corr_b_this"] = jnp.asarray(self.corr_b_this, dtype=jnp.float32)
             xs["corr_b_prev"] = jnp.asarray(self.corr_b_prev, dtype=jnp.float32)
             xs["corr_b_pp"] = jnp.asarray(self.corr_b_pp, dtype=jnp.float32)
+        if self.has_lms:
+            xs["lms_c"] = jnp.asarray(self.lms_c, dtype=jnp.float32)
         return xs
 
     # ------------------------------------------------------------------
@@ -723,6 +798,8 @@ class DPMSolverMultistep:
         z = jnp.zeros_like(latents)
         if self.has_corrector:
             return (latents, z, z, z)  # (x, x_prev_corrected, m_prev, m_pp)
+        if self.has_lms:
+            return (latents, z, z, z)  # (x, d_prev, d_pp, d_ppp)
         return (latents, z)  # (x, m_prev)
 
     @staticmethod
@@ -739,6 +816,15 @@ class DPMSolverMultistep:
 
         `eps` is the model output at `latent(carry)` — the UNCORRECTED
         sample, matching diffusers' convert-before-correct ordering."""
+        if self.has_lms:
+            lat, d1, d2, d3 = carry
+            dt = lat.dtype
+            lc = step_xs["lms_c"].astype(dt)  # (4,)
+            nxt = (
+                step_xs["a"].astype(dt) * lat
+                + lc[0] * eps + lc[1] * d1 + lc[2] * d2 + lc[3] * d3
+            )
+            return (nxt, eps, d1, d2)
         if not self.has_corrector:
             lat, m_prev = carry
             lat, m = self.step(step_xs, lat, eps, m_prev)
@@ -810,6 +896,8 @@ SCHEDULER_NAMES = (
     "dpm_sde_karras",
     "heun",
     "heun_karras",
+    "lms",
+    "lms_karras",
 )
 
 
@@ -852,6 +940,10 @@ def make_solver(
         )
     if name == "heun":
         return DPMSolverMultistep.create_heun(
+            schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
+        )
+    if name == "lms":
+        return DPMSolverMultistep.create_lms(
             schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
         )
     raise ValueError(

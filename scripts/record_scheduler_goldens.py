@@ -356,6 +356,44 @@ def main():
             json.dump(rec, f)
         print(f"wrote {out}")
 
+    # LMS (LMSDiscreteScheduler, order 4) — plain + Karras grids; same
+    # scale_model_input protocol as the Euler family. Consumed by
+    # tests/test_scheduler_goldens.py::test_lms_diffusers_goldens
+    from diffusers import LMSDiscreteScheduler
+
+    for karras, fname in ((False, "lms_goldens_diffusers.json"),
+                          (True, "lms_karras_goldens_diffusers.json")):
+        rec = {"model": "eps = 0.1 * scale_model_input(x)", "seed": 1234,
+               "shape": [2, 4, 4, 4], "runs": {}}
+        for n in STEPS:
+            sched = LMSDiscreteScheduler(
+                num_train_timesteps=1000,
+                beta_start=0.00085,
+                beta_end=0.012,
+                beta_schedule="scaled_linear",
+                prediction_type="epsilon",
+                timestep_spacing="linspace",
+                use_karras_sigmas=karras,
+            )
+            sched.set_timesteps(n)
+            x = torch.from_numpy(
+                np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+            ) * sched.init_noise_sigma
+            for t in sched.timesteps:
+                xin = sched.scale_model_input(x, t)
+                eps = 0.1 * xin
+                x = sched.step(eps, t, x).prev_sample
+            assert torch.isfinite(x).all()
+            rec["runs"][str(n)] = {
+                "timesteps": [float(t) for t in sched.timesteps],
+                "init_noise_sigma": float(sched.init_noise_sigma),
+                "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+            }
+        out = os.path.join(os.path.dirname(OUT), fname)
+        with open(out, "w") as f:
+            json.dump(rec, f)
+        print(f"wrote {out}")
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -697,3 +697,148 @@ def test_heun_denoise_runs_jitted():
     )
     imgs = fn(params, ex, jax.random.PRNGKey(2))
     assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+# ---------------------------------------------------------------------------
+# LMS (k-lms: Adams-Bashforth order 4 over sigma, diffusers
+# LMSDiscreteScheduler)
+
+
+@pytest.mark.parametrize("karras", [False, True])
+def test_lms_matches_stateful_quad_formulation(karras):
+    """Static exact-polynomial-integral coefficients vs an independent
+    stateful VE-space loop computing each Lagrange-basis integral with
+    scipy.integrate.quad — the literal diffusers LMSDiscreteScheduler
+    method (order ramp 1..4, derivative history, final segment to 0)."""
+    from scipy import integrate
+
+    sch = make_sd15_schedule()
+    for n in (3, 9):
+        solver = DPMSolverMultistep.create_lms(
+            sch, n, use_karras_sigmas=karras
+        )
+        sigmas = np.asarray(solver.sigmas)
+        rng = np.random.RandomState(41 + n)
+        z = rng.randn(2, 4, 4, 4).astype(np.float64)
+        eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+
+        # static drive on the f64 coefficient arrays
+        x_vp = z * solver.init_noise_sigma
+        d_hist = [np.zeros_like(x_vp)] * 3
+        for i in range(n):
+            lc = solver.lms_c[i]
+            x_vp = (
+                solver.a[i] * x_vp
+                + lc[0] * eps_seq[i]
+                + lc[1] * d_hist[0]
+                + lc[2] * d_hist[1]
+                + lc[3] * d_hist[2]
+            )
+            d_hist = [eps_seq[i]] + d_hist[:2]
+
+        # stateful quad-based VE reference
+        def lms_coeff(order, t, j):
+            def f(tau):
+                prod = 1.0
+                for k in range(order):
+                    if j == k:
+                        continue
+                    prod *= (tau - sigmas[t - k]) / (
+                        sigmas[t - j] - sigmas[t - k]
+                    )
+                return prod
+
+            return integrate.quad(f, sigmas[t], sigmas[t + 1], epsrel=1e-10)[0]
+
+        x_ve = z * sigmas[0]
+        derivs = []
+        for i in range(n):
+            derivs.append(eps_seq[i])
+            order = min(i + 1, 4)
+            coeffs = [lms_coeff(order, i, j) for j in range(order)]
+            x_ve = x_ve + sum(
+                c * d for c, d in zip(coeffs, reversed(derivs[-order:]))
+            )
+        np.testing.assert_allclose(
+            x_vp, x_ve, rtol=1e-7, atol=1e-9,
+            err_msg=f"n={n} karras={karras} (final sigma 0 -> alpha 1)",
+        )
+
+
+def test_lms_steady_state_exact_for_cubic_derivative():
+    """Once the history is full (order 4), each step integrates any cubic
+    d(sigma) exactly: seed the carry with the analytic derivatives at the
+    last 4 nodes and check the step lands on the analytic X(sigma_next)."""
+    sch = make_sd15_schedule()
+    n = 10
+    solver = DPMSolverMultistep.create_lms(sch, n)
+    sigmas = np.asarray(solver.sigmas)
+    rng = np.random.RandomState(9)
+    coef = [rng.randn(1, 4, 4, 4) * s for s in (1.0, 0.1, 0.01, 0.001)]
+
+    def d(sig):
+        return coef[0] + coef[1] * sig + coef[2] * sig**2 + coef[3] * sig**3
+
+    def X_exact(sig):  # antiderivative of d
+        return (
+            coef[0] * sig
+            + coef[1] * sig**2 / 2.0
+            + coef[2] * sig**3 / 3.0
+            + coef[3] * sig**4 / 4.0
+        )
+
+    for i in range(3, n):
+        sig_s, sig_t = sigmas[i], sigmas[i + 1]
+        alpha_s = 1.0 / np.sqrt(sig_s**2 + 1.0)
+        alpha_t = 1.0 / np.sqrt(sig_t**2 + 1.0)
+        x_vp = alpha_s * X_exact(sig_s)
+        lc = solver.lms_c[i]
+        hist = [d(sigmas[i - 1]), d(sigmas[i - 2]), d(sigmas[i - 3])]
+        got = (
+            solver.a[i] * x_vp
+            + lc[0] * d(sig_s) + lc[1] * hist[0]
+            + lc[2] * hist[1] + lc[3] * hist[2]
+        )
+        np.testing.assert_allclose(
+            got, alpha_t * X_exact(sig_t), rtol=1e-9, atol=1e-11,
+            err_msg=f"step {i}",
+        )
+
+
+def test_lms_warmup_order_ramp():
+    """Row i uses min(i+1, 4) history slots (diffusers' order ramp)."""
+    sch = make_sd15_schedule()
+    solver = DPMSolverMultistep.create_lms(sch, 8)
+    assert solver.has_lms and not solver.has_corrector
+    assert not solver.is_ancestral
+    used = (solver.lms_c != 0.0).sum(axis=1)
+    np.testing.assert_array_equal(used, [1, 2, 3, 4, 4, 4, 4, 4])
+    # order-1 warmup row IS the Euler step (different decomposition: LMS
+    # keeps a = alpha'/alpha and folds the sigma ratio into the eps term),
+    # so check numerically: one step from the same state, same eps, agrees.
+    euler = DPMSolverMultistep.create_euler(sch, 8)
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 4, 4, 4)
+    eps = rng.randn(2, 4, 4, 4)
+    m = (x - euler.eps_coef[0] * eps) * euler.x0_scale[0]
+    via_euler = euler.a[0] * x + euler.b[0] * m
+    via_lms = solver.a[0] * x + solver.lms_c[0, 0] * eps
+    np.testing.assert_allclose(via_lms, via_euler, rtol=1e-12)
+
+
+def test_lms_denoise_runs_jitted():
+    from photoverse_tpu.engine.inference import run_inference
+    from tiny_models import LATENT, tiny_batch, tiny_bundle
+
+    modules, params = tiny_bundle()
+    solver = make_solver(modules.schedule, "lms", 4)
+    batch = tiny_batch(B=1, seed=8)
+    ex = {k: jnp.asarray(v) for k, v in batch.items()}
+    fn = jax.jit(
+        lambda p, e, r: run_inference(
+            modules, p, solver, e, r,
+            guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        )
+    )
+    imgs = fn(params, ex, jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(np.asarray(imgs)))
