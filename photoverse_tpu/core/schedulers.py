@@ -467,6 +467,102 @@ class DPMSolverMultistep:
         )
 
     @staticmethod
+    def create_dpm_2s_ancestral(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+        use_karras_sigmas: bool = False,
+    ) -> "DPMSolverMultistep":
+        """DPM++ 2S ancestral ("DPM++ 2S a") as 2N-1 static-affine substeps.
+
+        k-diffusion ``sample_dpmpp_2s_ancestral`` (eta=1) semantics, the
+        sampler A1111 exposes as "DPM++ 2S a (Karras)". Per grid step, with
+        the Euler-ancestral sigma split (sig_up, sig_down) and
+        lambda = -log sigma, h = log(sig_s/sig_down):
+          substep A (eval at sig_s):  midpoint sig_mid = sqrt(sig_s*sig_down)
+              X_2 = (sig_mid/sig_s) X - expm1(-h/2) m
+          substep B (eval at sig_mid):
+              X' = (sig_down/sig_s) X - expm1(-h) m_2 + sig_up z
+        Substep B references the PRE-substep-A latent X, but along A's line
+        X = (X_2 + expm1(-h/2) m) * (sig_s/sig_mid), so B is affine in
+        (X_2, m_2, m_prev) — the exact (a, b, c) + noise carry the scan
+        already holds. The final step (sig_down == 0) is the first-order
+        limit X' = m in one substep, so N steps cost 2N-1 UNet evals.
+        Substep B's model eval runs at the OFF-GRID sigma sig_mid with its
+        fractional log-interpolated train timestep (the engine feeds
+        fractional t to the sinusoidal embedding, like diffusers does for
+        Karras grids).
+        """
+        timesteps, sigmas = _solver_grid(
+            schedule, num_inference_steps, use_karras_sigmas,
+            integer_timesteps=False,
+        )
+        abar = schedule.alphas_cumprod
+        log_table = np.log(np.sqrt((1.0 - abar) / abar))
+
+        N = num_inference_steps
+        sub_t, sub_sig = [], []
+        a, b, c, eps_coef, x0_scale, noise_sig = [], [], [], [], [], []
+        for i in range(N):
+            sig_s = sigmas[i]
+            sig_n = sigmas[i + 1]
+            alpha_s = 1.0 / np.sqrt(sig_s**2 + 1.0)
+            alpha_n = 1.0 / np.sqrt(sig_n**2 + 1.0)
+            if sig_n > 0.0:
+                sig_up = np.sqrt(sig_n**2 * (sig_s**2 - sig_n**2) / sig_s**2)
+                sig_down = np.sqrt(sig_n**2 - sig_up**2)
+            else:
+                sig_up, sig_down = 0.0, 0.0
+            if sig_down == 0.0:
+                # first-order limit: X' = m (+ sig_up z, zero here)
+                sub_t.append(timesteps[i])
+                sub_sig.append(sig_s)
+                eps_coef.append(sig_s * alpha_s)
+                x0_scale.append(1.0 / alpha_s)
+                a.append(0.0)
+                b.append(alpha_n)
+                c.append(0.0)
+                noise_sig.append(alpha_n * sig_up)
+                continue
+            h = np.log(sig_s / sig_down)
+            sig_mid = np.sqrt(sig_s * sig_down)
+            alpha_mid = 1.0 / np.sqrt(sig_mid**2 + 1.0)
+            em_half = np.expm1(-h / 2.0)
+            em_full = np.expm1(-h)
+            # substep A: input at sig_s, eval at t_i, output at sig_mid
+            sub_t.append(timesteps[i])
+            sub_sig.append(sig_s)
+            eps_coef.append(sig_s * alpha_s)
+            x0_scale.append(1.0 / alpha_s)
+            a.append((alpha_mid / alpha_s) * (sig_mid / sig_s))
+            b.append(-alpha_mid * em_half)
+            c.append(0.0)
+            noise_sig.append(0.0)
+            # substep B: input x_2 at sig_mid, eval at t(sig_mid), output
+            # at sig_n (deterministic part at sig_down + sig_up noise)
+            sub_t.append(float(_sigma_to_t(np.asarray([sig_mid]), log_table)[0]))
+            sub_sig.append(sig_mid)
+            eps_coef.append(sig_mid * alpha_mid)
+            x0_scale.append(1.0 / alpha_mid)
+            ratio = sig_down / sig_mid  # == (sig_down/sig_s)*(sig_s/sig_mid)
+            a.append(alpha_n * ratio / alpha_mid)
+            b.append(-alpha_n * em_full)
+            c.append(alpha_n * ratio * em_half)
+            noise_sig.append(alpha_n * sig_up)
+        sub_sig.append(0.0)
+        sig0 = float(sub_sig[0])
+        return DPMSolverMultistep(
+            timesteps=np.asarray(sub_t, np.float64),
+            sigmas=np.asarray(sub_sig, np.float64),
+            a=np.asarray(a),
+            b=np.asarray(b),
+            c=np.asarray(c),
+            eps_coef=np.asarray(eps_coef),
+            x0_scale=np.asarray(x0_scale),
+            init_noise_sigma=sig0 / np.sqrt(sig0**2 + 1.0),
+            noise_sigma=np.asarray(noise_sig),
+        )
+
+    @staticmethod
     def create_lms(
         schedule: DDPMSchedule,
         num_inference_steps: int,
@@ -898,6 +994,8 @@ SCHEDULER_NAMES = (
     "heun_karras",
     "lms",
     "lms_karras",
+    "dpm_2s_a",
+    "dpm_2s_a_karras",
 )
 
 
@@ -944,6 +1042,10 @@ def make_solver(
         )
     if name == "lms":
         return DPMSolverMultistep.create_lms(
+            schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
+        )
+    if name == "dpm_2s_a":
+        return DPMSolverMultistep.create_dpm_2s_ancestral(
             schedule, num_inference_steps, use_karras_sigmas=use_karras_sigmas
         )
     raise ValueError(

@@ -394,6 +394,77 @@ def main():
             json.dump(rec, f)
         print(f"wrote {out}")
 
+    # DPM++ 2S ancestral — k-diffusion is the canonical implementation
+    # (diffusers has no ancestral singlestep), so this stanza is OPTIONAL:
+    # it records only when `k_diffusion` is importable. Protocol: the
+    # denoiser model is denoised = x - 0.1*sigma*x/sqrt(sigma^2+1), i.e.
+    # eps = 0.1 * scaled_input like every other golden here; per-step
+    # noise is captured via the noise_sampler hook and interleaved with
+    # zero placeholders at the A substeps so the offline consumer
+    # (test_dpm_2s_a_kdiffusion_goldens) can replay substep-by-substep.
+    try:
+        from k_diffusion.sampling import (
+            get_sigmas_karras, sample_dpmpp_2s_ancestral,
+        )
+    except ImportError:
+        print("k_diffusion not installed — skipping dpm_2s_a goldens")
+    else:
+        from photoverse_tpu.core.schedulers import (
+            DDPMSchedule, DPMSolverMultistep,
+        )
+
+        for karras, fname in (
+            (False, "dpm_2s_a_goldens_kdiffusion.json"),
+            (True, "dpm_2s_a_karras_goldens_kdiffusion.json"),
+        ):
+            rec = {"model": "denoised = x - 0.1*sigma*x/sqrt(sigma^2+1)",
+                   "seed": 1234, "noise_seed": 4321,
+                   "shape": [2, 4, 4, 4], "runs": {}}
+            for n in STEPS:
+                # identical sigma grid to create_dpm_2s_ancestral
+                solver = DPMSolverMultistep.create_dpm_2s_ancestral(
+                    DDPMSchedule.create(), n, use_karras_sigmas=karras
+                )
+                grid = np.concatenate(
+                    [np.asarray(solver.sigmas)[0::2], [0.0]]
+                )
+                sigmas_t = torch.from_numpy(grid.astype(np.float64))
+
+                def model(x, sigma, **kw):
+                    return x - 0.1 * sigma * x / (sigma**2 + 1.0) ** 0.5
+
+                g = torch.Generator().manual_seed(4321)
+                draws = []
+
+                def noise_sampler(sigma, sigma_next):
+                    z = torch.randn(2, 4, 4, 4, generator=g,
+                                    dtype=torch.float64)
+                    draws.append(z.numpy().ravel().tolist())
+                    return z
+
+                x = torch.from_numpy(
+                    np.random.RandomState(1234)
+                    .randn(2, 4, 4, 4).astype(np.float64)
+                ) * grid[0]
+                out_x = sample_dpmpp_2s_ancestral(
+                    model, x, sigmas_t, eta=1.0,
+                    noise_sampler=noise_sampler, disable=True,
+                )
+                zeros = [0.0] * (2 * 4 * 4 * 4)
+                noises = []
+                for i in range(n - 1):
+                    noises.extend([zeros, draws[i]])
+                noises.append(zeros)  # final first-order substep
+                rec["runs"][str(n)] = {
+                    "noises": noises,
+                    "x_final": out_x.numpy().astype(np.float64)
+                    .ravel().tolist(),
+                }
+            out = os.path.join(os.path.dirname(OUT), fname)
+            with open(out, "w") as f:
+                json.dump(rec, f)
+            print(f"wrote {out}")
+
 
 if __name__ == "__main__":
     sys.exit(main())

@@ -215,10 +215,13 @@ def test_make_solver_factory():
     sch = make_sd15_schedule()
     for name in SCHEDULER_NAMES:
         s = make_solver(sch, name, 6)
-        # heun spends 2 model evals per grid step (trapezoidal corrector)
-        assert s.num_steps == (11 if name.startswith("heun") else 6)
+        # heun / dpm_2s_a spend 2 model evals per grid step
+        two_eval = name.startswith("heun") or name.startswith("dpm_2s_a")
+        assert s.num_steps == (11 if two_eval else 6)
         assert s.is_ancestral == (
-            name.startswith("euler_a") or name.startswith("dpm_sde")
+            name.startswith("euler_a")
+            or name.startswith("dpm_sde")
+            or name.startswith("dpm_2s_a")
         )
     # karras via flag == karras via suffix
     a = make_solver(sch, "dpm_karras", 8)
@@ -841,4 +844,147 @@ def test_lms_denoise_runs_jitted():
         )
     )
     imgs = fn(params, ex, jax.random.PRNGKey(3))
+    assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+# ---------------------------------------------------------------------------
+# DPM++ 2S ancestral (k-diffusion sample_dpmpp_2s_ancestral, eta=1)
+
+
+@pytest.mark.parametrize("karras", [False, True])
+def test_dpm_2s_a_matches_stateful_kdiffusion(karras):
+    """The interleaved substeps must reproduce the canonical stateful
+    k-diffusion loop (VE space, lambda = -log sigma, midpoint r=1/2,
+    Euler-ancestral sigma split, first-order final step), driven by one
+    shared eps stream and one shared per-STEP noise stream."""
+    sch = make_sd15_schedule()
+    for n in (2, 5, 9):
+        solver = DPMSolverMultistep.create_dpm_2s_ancestral(
+            sch, n, use_karras_sigmas=karras
+        )
+        assert solver.num_steps == 2 * n - 1 and solver.is_ancestral
+        grid = DPMSolverMultistep.create_euler(
+            sch, n, use_karras_sigmas=karras
+        ).sigmas
+        rng = np.random.RandomState(51 + n)
+        z0 = rng.randn(2, 4, 4, 4).astype(np.float64)
+        eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64)
+                   for _ in range(solver.num_steps)]
+        z_seq = [rng.randn(2, 4, 4, 4).astype(np.float64) for _ in range(n)]
+
+        # static-affine drive + per-substep noise (zero on A substeps)
+        x_vp = z0 * solver.init_noise_sigma
+        m_prev = np.zeros_like(x_vp)
+        for i in range(solver.num_steps):
+            m = (x_vp - solver.eps_coef[i] * eps_seq[i]) * solver.x0_scale[i]
+            x_vp = (
+                solver.a[i] * x_vp + solver.b[i] * m + solver.c[i] * m_prev
+            )
+            # noise stream: one draw per GRID step, consumed on the substep
+            # whose noise_sigma is nonzero (B substeps / the final substep)
+            if solver.noise_sigma[i] != 0.0:
+                x_vp = x_vp + solver.noise_sigma[i] * z_seq[
+                    int(np.count_nonzero(solver.noise_sigma[: i + 1])) - 1
+                ]
+            m_prev = m
+
+        # stateful k-diffusion VE reference, same eps/noise streams
+        x = z0 * grid[0]
+        k = 0
+        for i in range(n):
+            sig_s, sig_n = grid[i], grid[i + 1]
+            m = x - sig_s * eps_seq[k]  # denoised
+            k += 1
+            if sig_n > 0:
+                sig_up = np.sqrt(
+                    sig_n**2 * (sig_s**2 - sig_n**2) / sig_s**2
+                )
+                sig_down = np.sqrt(sig_n**2 - sig_up**2)
+            else:
+                sig_up, sig_down = 0.0, 0.0
+            if sig_down == 0.0:
+                x = x + (sig_down - sig_s) * (x - m) / sig_s
+            else:
+                h = np.log(sig_s / sig_down)
+                sig_mid = np.sqrt(sig_s * sig_down)
+                x_2 = (sig_mid / sig_s) * x - np.expm1(-h / 2.0) * m
+                m_2 = x_2 - sig_mid * eps_seq[k]
+                k += 1
+                x = (sig_down / sig_s) * x - np.expm1(-h) * m_2
+            if sig_up > 0:
+                x = x + sig_up * z_seq[i]
+        assert k == solver.num_steps
+        np.testing.assert_allclose(
+            x_vp, x, rtol=1e-7, atol=1e-9,  # final sigma 0 -> alpha 1
+            err_msg=f"n={n} karras={karras}",
+        )
+
+
+def test_dpm_2s_a_exact_for_consistent_model_deterministic_part():
+    """Both exponential-integrator substeps are exact when the denoised
+    prediction is a constant x0 (the DPM++ exact-ODE property), so with the
+    ancestral noise zeroed the trajectory must land on x0."""
+    sch = make_sd15_schedule()
+    for n in (4, 20):
+        solver = DPMSolverMultistep.create_dpm_2s_ancestral(sch, n)
+        rng = np.random.RandomState(6)
+        x0_true = rng.randn(1, 4, 8, 8)
+        noise = rng.randn(1, 4, 8, 8)
+        sig0 = solver.sigmas[0]
+        alpha0 = 1.0 / np.sqrt(sig0**2 + 1.0)
+        x = alpha0 * x0_true + sig0 * alpha0 * noise
+        m_prev = np.zeros_like(x)
+        for i in range(solver.num_steps):
+            eps = (x - x0_true / solver.x0_scale[i]) / solver.eps_coef[i]
+            m = (x - solver.eps_coef[i] * eps) * solver.x0_scale[i]
+            x = solver.a[i] * x + solver.b[i] * m + solver.c[i] * m_prev
+            m_prev = m
+        np.testing.assert_allclose(x, x0_true, rtol=1e-6, atol=1e-8,
+                                   err_msg=f"n={n}")
+
+
+def test_dpm_2s_a_substep_structure():
+    """A substeps carry no noise; B substeps run at the off-grid midpoint
+    sigma with a fractional log-interpolated timestep between the grid
+    timesteps; the final substep is first-order (a=0, b=1)."""
+    sch = make_sd15_schedule()
+    n = 5
+    solver = DPMSolverMultistep.create_dpm_2s_ancestral(sch, n)
+    euler = DPMSolverMultistep.create_euler(sch, n)
+    assert solver.num_steps == 2 * n - 1
+    np.testing.assert_array_equal(solver.noise_sigma[0:-1:2], 0.0)
+    assert np.all(solver.noise_sigma[1::2] > 0)
+    # midpoint sigma is the geometric mean sqrt(sig_s * sig_down) — below
+    # the current grid sigma, above the ancestral sig_down (which itself
+    # sits below sig_next, so the midpoint may dip under sig_next too)
+    for i in range(n - 1):
+        sig_s = euler.sigmas[i]
+        sig_n = euler.sigmas[i + 1]
+        sig_up = np.sqrt(sig_n**2 * (sig_s**2 - sig_n**2) / sig_s**2)
+        sig_down = np.sqrt(sig_n**2 - sig_up**2)
+        sig_mid = solver.sigmas[2 * i + 1]
+        np.testing.assert_allclose(sig_mid, np.sqrt(sig_s * sig_down),
+                                   rtol=1e-12)
+        assert sig_down < sig_mid < sig_s
+        t_mid = solver.timesteps[2 * i + 1]
+        assert 0.0 < t_mid < euler.timesteps[i]
+    np.testing.assert_allclose(solver.a[-1], 0.0)
+    np.testing.assert_allclose(solver.b[-1], 1.0)
+
+
+def test_dpm_2s_a_denoise_runs_jitted():
+    from photoverse_tpu.engine.inference import run_inference
+    from tiny_models import LATENT, tiny_batch, tiny_bundle
+
+    modules, params = tiny_bundle()
+    solver = make_solver(modules.schedule, "dpm_2s_a", 3)
+    batch = tiny_batch(B=1, seed=12)
+    ex = {k: jnp.asarray(v) for k, v in batch.items()}
+    fn = jax.jit(
+        lambda p, e, r: run_inference(
+            modules, p, solver, e, r,
+            guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        )
+    )
+    imgs = fn(params, ex, jax.random.PRNGKey(5))
     assert np.all(np.isfinite(np.asarray(imgs)))
