@@ -37,9 +37,10 @@ Two device-utilization details (both exact, both modes):
      "prompt": "a photo of a {}", "negative_prompt": null,
      "num_samples": 1, "steps": 25, "guidance_scale": 6.0, "seed": null,
      "scheduler": "dpm" | "ddim" | "euler" | "euler_a" | "unipc" |
-                  "dpm_sde" | "heun" | "lms" | "dpm_2s_a" (+ "_karras"
-                  suffix for the Karras sigma grid, e.g. "dpm_karras";
-                  heun/dpm_2s_a cost 2N-1 UNet evals for N steps)}
+                  "dpm_sde" | "heun" | "lms" | "dpm_2s_a" | "pndm"
+                  (+ "_karras" suffix for the Karras sigma grid, e.g.
+                  "dpm_karras" — ddim/pndm have none; heun/dpm_2s_a cost
+                  2N-1 and pndm N+1 UNet evals for N steps)}
   -> {"images_b64": [<base64 png>, ...], "latency_s": ..., "seed": ...,
       "batch_rows": <rows in the device batch that served this request>}
 

@@ -235,6 +235,12 @@ class DPMSolverMultistep:
     # [d_this, d_prev, d_pp, d_ppp] (VE derivatives == model eps), already
     # folded by alpha_{i+1}; the carry grows to (x, d_prev, d_pp, d_ppp).
     lms_c: Optional[np.ndarray] = None
+    # PNDM/PLMS (create_pndm): (N, 5) coefficients on
+    # [e_this, e_prev, e_pp, e_ppp, e_pppp] (raw model eps); the 5th slot
+    # exists because diffusers' counter==1 warmup skips appending one eval
+    # to its ets history, so counter==4 reaches 4 evals back. Carry:
+    # (x, e1, e2, e3, e4).
+    pndm_c: Optional[np.ndarray] = None
 
     @staticmethod
     def create(
@@ -563,6 +569,107 @@ class DPMSolverMultistep:
         )
 
     @staticmethod
+    def create_pndm(
+        schedule: DDPMSchedule,
+        num_inference_steps: int,
+    ) -> "DPMSolverMultistep":
+        """PNDM/PLMS (the historical SD-1.5 default) as N+1 static substeps.
+
+        Semantics match diffusers' PNDMScheduler as SD-1.5 configures it
+        (skip_prk_steps=True -> pure PLMS, "leading" spacing,
+        steps_offset=1, set_alpha_to_one=False): 4th-order Adams-Bashforth
+        on the RAW eps history over the DDIM-form transfer
+            x' = A x - (abar' - abar)/denom * e_combo,
+            A = sqrt(abar'/abar),
+            denom = abar*sqrt(1-abar') + sqrt(abar*(1-abar)*abar'),
+        with diffusers' warmup quirk reproduced exactly: the first grid
+        step gets TWO evals (plain step with e0, then a trapezoidal redo
+        of the SAME transition from the pre-step latent with (e0+e1)/2 —
+        affine in the carry because x_prev = (x - B e0)/A along the first
+        substep), and e1 is never appended to the history, so the
+        counter==4 combo reaches 4 evals back — hence the 5-slot
+        (x, e1..e4) carry. Timestep walk [T0, T1, T1, T2, ..., T_{N-1}]
+        (N+1 UNet evals for N steps), diffusers' plms_timesteps exactly.
+        Like DDIM, the leading grid has no Karras variant.
+        """
+        T = schedule.num_train_timesteps
+        step_ratio = T // num_inference_steps
+        last_t = (
+            (num_inference_steps - 1) * step_ratio + schedule.steps_offset
+        )
+        if step_ratio < 1 or last_t >= T:
+            raise ValueError(
+                f"num_inference_steps={num_inference_steps} with "
+                f"steps_offset={schedule.steps_offset} exceeds the "
+                f"{T}-step training schedule (max timestep {last_t})"
+            )
+        Ts = (
+            (np.arange(0, num_inference_steps) * step_ratio)
+            .round()[::-1]
+            .astype(np.int64)
+            + schedule.steps_offset
+        )
+        abar = schedule.alphas_cumprod
+        final_abar = abar[0]  # set_alpha_to_one=False (the SD PNDM config)
+
+        def transfer(t: int):
+            a_t = abar[t]
+            t_prev = t - step_ratio
+            a_p = abar[t_prev] if t_prev >= 0 else final_abar
+            A = np.sqrt(a_p / a_t)
+            denom = a_t * np.sqrt(1.0 - a_p) + np.sqrt(
+                a_t * (1.0 - a_t) * a_p
+            )
+            return A, -(a_p - a_t) / denom
+
+        n = num_inference_steps
+        N = n + 1 if n > 1 else 1
+        sub_t = np.zeros(N, np.int64)
+        a = np.zeros(N)
+        pndm_c = np.zeros((N, 5))
+        eps_coef = np.zeros(N)
+        x0_scale = np.zeros(N)
+        A0, B0 = transfer(int(Ts[0]))
+        sub_t[0] = Ts[0]
+        a[0] = A0
+        pndm_c[0, 0] = B0
+        if n > 1:
+            # counter==1: trapezoidal redo of the T0 transition from the
+            # recovered pre-step latent; eval at T1
+            sub_t[1] = Ts[1]
+            a[1] = 1.0
+            pndm_c[1, 0] = B0 / 2.0
+            pndm_c[1, 1] = -B0 / 2.0
+            combos = {
+                2: np.array([3.0, 0.0, -1.0, 0.0, 0.0]) / 2.0,
+                3: np.array([23.0, -16.0, 0.0, 5.0, 0.0]) / 12.0,
+                4: np.array([55.0, -59.0, 37.0, 0.0, -9.0]) / 24.0,
+            }
+            steady = np.array([55.0, -59.0, 37.0, -9.0, 0.0]) / 24.0
+            for k in range(2, n + 1):
+                t_eval = int(Ts[k - 1])
+                A, B = transfer(t_eval)
+                sub_t[k] = t_eval
+                a[k] = A
+                pndm_c[k] = B * combos.get(k, steady)
+        for k in range(N):
+            ab = abar[sub_t[k]]
+            eps_coef[k] = np.sqrt(1.0 - ab)
+            x0_scale[k] = 1.0 / np.sqrt(ab)
+        sigmas = np.sqrt((1.0 - abar[sub_t]) / abar[sub_t])
+        sigmas = np.concatenate([sigmas, [0.0]])
+        return DPMSolverMultistep(
+            timesteps=sub_t,
+            sigmas=sigmas,
+            a=a,
+            b=np.zeros(N),
+            c=np.zeros(N),
+            eps_coef=eps_coef,
+            x0_scale=x0_scale,
+            pndm_c=pndm_c,
+        )
+
+    @staticmethod
     def create_lms(
         schedule: DDPMSchedule,
         num_inference_steps: int,
@@ -846,6 +953,11 @@ class DPMSolverMultistep:
         return self.lms_c is not None
 
     @property
+    def has_pndm(self) -> bool:
+        """True for PNDM/PLMS (5-slot eps-history carry)."""
+        return self.pndm_c is not None
+
+    @property
     def is_ancestral(self) -> bool:
         """True when any step injects fresh noise (the engine then needs
         per-row ancestral keys)."""
@@ -883,6 +995,8 @@ class DPMSolverMultistep:
             xs["corr_b_pp"] = jnp.asarray(self.corr_b_pp, dtype=jnp.float32)
         if self.has_lms:
             xs["lms_c"] = jnp.asarray(self.lms_c, dtype=jnp.float32)
+        if self.has_pndm:
+            xs["pndm_c"] = jnp.asarray(self.pndm_c, dtype=jnp.float32)
         return xs
 
     # ------------------------------------------------------------------
@@ -896,6 +1010,8 @@ class DPMSolverMultistep:
             return (latents, z, z, z)  # (x, x_prev_corrected, m_prev, m_pp)
         if self.has_lms:
             return (latents, z, z, z)  # (x, d_prev, d_pp, d_ppp)
+        if self.has_pndm:
+            return (latents, z, z, z, z)  # (x, e1, e2, e3, e4)
         return (latents, z)  # (x, m_prev)
 
     @staticmethod
@@ -921,6 +1037,16 @@ class DPMSolverMultistep:
                 + lc[0] * eps + lc[1] * d1 + lc[2] * d2 + lc[3] * d3
             )
             return (nxt, eps, d1, d2)
+        if self.has_pndm:
+            lat, e1, e2, e3, e4 = carry
+            dt = lat.dtype
+            pc = step_xs["pndm_c"].astype(dt)  # (5,)
+            nxt = (
+                step_xs["a"].astype(dt) * lat
+                + pc[0] * eps + pc[1] * e1 + pc[2] * e2
+                + pc[3] * e3 + pc[4] * e4
+            )
+            return (nxt, eps, e1, e2, e3)
         if not self.has_corrector:
             lat, m_prev = carry
             lat, m = self.step(step_xs, lat, eps, m_prev)
@@ -996,6 +1122,7 @@ SCHEDULER_NAMES = (
     "lms_karras",
     "dpm_2s_a",
     "dpm_2s_a_karras",
+    "pndm",
 )
 
 
@@ -1025,6 +1152,10 @@ def make_solver(
         if use_karras_sigmas:
             raise ValueError("ddim has no karras-sigma variant")
         return DPMSolverMultistep.create_ddim(schedule, num_inference_steps)
+    if name == "pndm":
+        if use_karras_sigmas:
+            raise ValueError("pndm has no karras-sigma variant")
+        return DPMSolverMultistep.create_pndm(schedule, num_inference_steps)
     if name in ("euler", "euler_a"):
         return DPMSolverMultistep.create_euler(
             schedule,

@@ -394,6 +394,42 @@ def main():
             json.dump(rec, f)
         print(f"wrote {out}")
 
+    # PNDM/PLMS (PNDMScheduler, skip_prk_steps=True — the SD-1.5 original
+    # default config). init_noise_sigma is 1 and scale_model_input the
+    # identity, so the protocol is plain eps = 0.1 * x. Consumed by
+    # tests/test_scheduler_goldens.py::test_pndm_diffusers_goldens
+    from diffusers import PNDMScheduler
+
+    rec = {"model": "eps = 0.1 * x", "seed": 1234,
+           "shape": [2, 4, 4, 4], "runs": {}}
+    for n in STEPS:
+        sched = PNDMScheduler(
+            num_train_timesteps=1000,
+            beta_start=0.00085,
+            beta_end=0.012,
+            beta_schedule="scaled_linear",
+            prediction_type="epsilon",
+            skip_prk_steps=True,
+            set_alpha_to_one=False,
+            steps_offset=1,
+            timestep_spacing="leading",
+        )
+        sched.set_timesteps(n)
+        x = torch.from_numpy(
+            np.random.RandomState(1234).randn(2, 4, 4, 4).astype(np.float32)
+        )
+        for t in sched.timesteps:
+            eps = 0.1 * x
+            x = sched.step(eps, t, x).prev_sample
+        rec["runs"][str(n)] = {
+            "timesteps": [int(t) for t in sched.timesteps],
+            "x_final": x.numpy().astype(np.float64).ravel().tolist(),
+        }
+    out = os.path.join(os.path.dirname(OUT), "pndm_goldens_diffusers.json")
+    with open(out, "w") as f:
+        json.dump(rec, f)
+    print(f"wrote {out}")
+
     # DPM++ 2S ancestral — k-diffusion is the canonical implementation
     # (diffusers has no ancestral singlestep), so this stanza is OPTIONAL:
     # it records only when `k_diffusion` is importable. Protocol: the

@@ -215,9 +215,11 @@ def test_make_solver_factory():
     sch = make_sd15_schedule()
     for name in SCHEDULER_NAMES:
         s = make_solver(sch, name, 6)
-        # heun / dpm_2s_a spend 2 model evals per grid step
+        # heun / dpm_2s_a spend 2 model evals per grid step; pndm's warmup
+        # double-eval on the first step costs N+1
         two_eval = name.startswith("heun") or name.startswith("dpm_2s_a")
-        assert s.num_steps == (11 if two_eval else 6)
+        expect = 11 if two_eval else (7 if name == "pndm" else 6)
+        assert s.num_steps == expect
         assert s.is_ancestral == (
             name.startswith("euler_a")
             or name.startswith("dpm_sde")
@@ -987,4 +989,134 @@ def test_dpm_2s_a_denoise_runs_jitted():
         )
     )
     imgs = fn(params, ex, jax.random.PRNGKey(5))
+    assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+# ---------------------------------------------------------------------------
+# PNDM / PLMS (diffusers PNDMScheduler, skip_prk_steps=True — the
+# historical SD-1.5 default)
+
+
+class _StatefulPLMS:
+    """Independent stateful PLMS: the literal diffusers PNDMScheduler
+    control flow (ets history window, counter, cur_sample warmup redo,
+    DDIM-form _get_prev_sample) with skip_prk_steps=True semantics."""
+
+    def __init__(self, schedule, num_inference_steps):
+        self.abar = schedule.alphas_cumprod
+        self.final_abar = self.abar[0]  # set_alpha_to_one=False
+        self.step_ratio = schedule.num_train_timesteps // num_inference_steps
+        self.ets = []
+        self.counter = 0
+        self.cur_sample = None
+
+    def _prev(self, sample, t, t_prev, eo):
+        a_t = self.abar[t]
+        a_p = self.abar[t_prev] if t_prev >= 0 else self.final_abar
+        A = np.sqrt(a_p / a_t)
+        denom = a_t * np.sqrt(1.0 - a_p) + np.sqrt(
+            a_t * (1.0 - a_t) * a_p
+        )
+        return A * sample - (a_p - a_t) * eo / denom
+
+    def step(self, e, t, x):
+        t_prev = t - self.step_ratio
+        if self.counter != 1:
+            self.ets = self.ets[-3:]
+            self.ets.append(e)
+        else:
+            t_prev = t
+            t = t + self.step_ratio
+        if len(self.ets) == 1 and self.counter == 0:
+            eo = e
+            self.cur_sample = x
+        elif len(self.ets) == 1 and self.counter == 1:
+            eo = (e + self.ets[-1]) / 2.0
+            x = self.cur_sample
+            self.cur_sample = None
+        elif len(self.ets) == 2:
+            eo = (3.0 * self.ets[-1] - self.ets[-2]) / 2.0
+        elif len(self.ets) == 3:
+            eo = (
+                23.0 * self.ets[-1] - 16.0 * self.ets[-2]
+                + 5.0 * self.ets[-3]
+            ) / 12.0
+        else:
+            eo = (
+                55.0 * self.ets[-1] - 59.0 * self.ets[-2]
+                + 37.0 * self.ets[-3] - 9.0 * self.ets[-4]
+            ) / 24.0
+        self.counter += 1
+        return self._prev(x, t, t_prev, eo)
+
+
+def test_pndm_matches_stateful_plms():
+    """Static 5-slot coefficients vs the stateful diffusers control flow,
+    one shared eps stream, every n (covers all warmup branches + steady)."""
+    sch = make_sd15_schedule()
+    for n in (1, 2, 3, 4, 5, 9, 25):
+        solver = DPMSolverMultistep.create_pndm(sch, n)
+        n_sub = solver.num_steps
+        assert n_sub == (n + 1 if n > 1 else 1)
+        rng = np.random.RandomState(61 + n)
+        x0 = rng.randn(2, 4, 4, 4).astype(np.float64)
+        eps_seq = [rng.randn(2, 4, 4, 4).astype(np.float64)
+                   for _ in range(n_sub)]
+
+        # static drive
+        x = x0.copy()
+        hist = [np.zeros_like(x)] * 4
+        for i in range(n_sub):
+            pc = solver.pndm_c[i]
+            x = (
+                solver.a[i] * x
+                + pc[0] * eps_seq[i]
+                + pc[1] * hist[0] + pc[2] * hist[1]
+                + pc[3] * hist[2] + pc[4] * hist[3]
+            )
+            hist = [eps_seq[i]] + hist[:3]
+
+        # stateful reference over the interleaved timestep walk
+        ref = _StatefulPLMS(sch, n)
+        xs_ref = x0.copy()
+        for i in range(n_sub):
+            xs_ref = ref.step(eps_seq[i], int(solver.timesteps[i]), xs_ref)
+        np.testing.assert_allclose(x, xs_ref, rtol=1e-9, atol=1e-11,
+                                   err_msg=f"n={n}")
+
+
+def test_pndm_grid_and_structure():
+    sch = make_sd15_schedule()
+    n = 6
+    solver = DPMSolverMultistep.create_pndm(sch, n)
+    ddim = DPMSolverMultistep.create_ddim(sch, n)
+    # plms walk = ddim's leading grid with the second timestep doubled
+    t = np.asarray(ddim.timesteps)
+    expect = np.concatenate([t[:1], np.repeat(t[1:2], 2), t[2:]])
+    np.testing.assert_array_equal(np.asarray(solver.timesteps), expect)
+    assert solver.has_pndm and not solver.is_ancestral
+    assert solver.init_noise_sigma == 1.0
+    # warmup redo substep leaves the latent scale alone (a=1) and only
+    # nudges by the eps difference
+    np.testing.assert_allclose(solver.a[1], 1.0)
+    np.testing.assert_allclose(solver.pndm_c[1, 0], -solver.pndm_c[1, 1])
+    with pytest.raises(ValueError):
+        make_solver(sch, "pndm", 6, use_karras_sigmas=True)
+
+
+def test_pndm_denoise_runs_jitted():
+    from photoverse_tpu.engine.inference import run_inference
+    from tiny_models import LATENT, tiny_batch, tiny_bundle
+
+    modules, params = tiny_bundle()
+    solver = make_solver(modules.schedule, "pndm", 3)
+    batch = tiny_batch(B=1, seed=14)
+    ex = {k: jnp.asarray(v) for k, v in batch.items()}
+    fn = jax.jit(
+        lambda p, e, r: run_inference(
+            modules, p, solver, e, r,
+            guidance_scale=1.0, token_index=0, latent_size=LATENT,
+        )
+    )
+    imgs = fn(params, ex, jax.random.PRNGKey(7))
     assert np.all(np.isfinite(np.asarray(imgs)))
