@@ -85,13 +85,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "metric wording); euler / euler_a: (ancestral) "
                         "Euler discrete; unipc: UniPC bh2 "
                         "predictor-corrector; dpm_sde: sde-dpmsolver++ "
-                        "midpoint ('DPM++ 2M SDE'); *_karras: same sampler "
-                        "on the Karras rho-7 sigma grid (diffusers "
+                        "midpoint ('DPM++ 2M SDE'); heun: trapezoidal "
+                        "2nd-order (2N-1 UNet evals); lms: k-lms order-4 "
+                        "Adams-Bashforth; dpm_2s_a: DPM++ 2S ancestral "
+                        "(2N-1 UNet evals); pndm: PNDM/PLMS, the historical "
+                        "SD-1.5 default (N+1 UNet evals); *_karras: same "
+                        "sampler on the Karras rho-7 sigma grid (diffusers "
                         "use_karras_sigmas=True)")
     p.add_argument("--karras_sigmas", action="store_true",
                    help="Karras rho-7 sigma grid for the chosen scheduler "
                         "(equivalent to the *_karras scheduler names; "
-                        "invalid with ddim)")
+                        "invalid with ddim and pndm)")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend (the TPU plugin ignores "
                         "JAX_PLATFORMS alone)")
@@ -168,12 +172,13 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if args.input_image_path is None:
         raise SystemExit("--input_image_path is required")
-    if args.karras_sigmas and args.scheduler.startswith("ddim"):
+    if args.karras_sigmas and args.scheduler in ("ddim", "pndm"):
         # fail before the multi-GB model load; make_solver would reject it
         raise SystemExit(
-            "--karras_sigmas is invalid with --scheduler ddim (DDIM's grid "
-            "is defined by its leading spacing; pick euler/dpm/unipc "
-            "variants for Karras sigmas)"
+            f"--karras_sigmas is invalid with --scheduler {args.scheduler} "
+            "(ddim's grid is defined by its leading spacing and pndm's "
+            "multistep coefficients assume it; pick euler/dpm/unipc/heun/"
+            "lms/dpm_2s_a variants for Karras sigmas)"
         )
     if args.cpu:
         from photoverse_tpu.utils.platform import force_cpu
