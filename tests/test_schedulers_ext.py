@@ -1120,3 +1120,144 @@ def test_pndm_denoise_runs_jitted():
     )
     imgs = fn(params, ex, jax.random.PRNGKey(7))
     assert np.all(np.isfinite(np.asarray(imgs)))
+
+
+# ---------------------------------------------------------------------------
+# Empirical convergence-order + cross-family ground truth (VERDICT r3 #6).
+#
+# The diffusers/k-diffusion golden fixtures cannot be recorded in this
+# zero-egress environment (tests/test_scheduler_goldens.py skips), and the
+# stateful-rederivation parity tests share their author with the
+# implementation. These tests provide ground truth NEITHER shares: every
+# deterministic sampler integrates the SAME probability-flow ODE
+# dX/dsigma = eps(X, sigma) in VE space, so (a) its error against an
+# analytically solvable instance must shrink at its textbook order as the
+# step count doubles, and (b) at N=200 all families must land on the
+# solution computed by an independent test-local RK4 integrator. A wrong
+# multistep coefficient shifts the measured order / the converged answer
+# even when a rederivation test reproduces the same wrong formula.
+# Calibrated ratios (N=16->32->64, see git history): euler 2.08/2.05,
+# ddim 1.61/2.34, dpm 3.76/3.27, heun 4.10/4.09, unipc 5.92/5.94,
+# lms 3.16/3.46 (warmup-limited), pndm 2.57/4.97 (pre-asymptotic first).
+# Reference samplers: /root/reference/models/infer.py:39-40,98-119.
+# ---------------------------------------------------------------------------
+
+
+def _xs64(solver):
+    """The solver's static per-step coefficients as float64 numpy."""
+    xs = {
+        "a": solver.a, "b": solver.b, "c": solver.c,
+        "eps_coef": solver.eps_coef, "x0_scale": solver.x0_scale,
+    }
+    for k in ("lms_c", "pndm_c", "corr_ci", "corr_a", "corr_b_this",
+              "corr_b_prev", "corr_b_pp"):
+        v = getattr(solver, k)
+        if v is not None:
+            xs[k] = v
+    return {k: np.asarray(v, np.float64) for k, v in xs.items()}
+
+
+def _run_deterministic_f64(solver, X0_ve, eps_fn):
+    """Drive a deterministic solver host-side in float64 via the SAME
+    generic carry API the engine's denoise scan uses (init_carry / latent /
+    advance). eps_fn(X_ve, sigma) plays the model. Returns X(0)."""
+    assert not solver.is_ancestral
+    xs = _xs64(solver)
+    sig = np.asarray(solver.sigmas, np.float64)
+    x = np.asarray(X0_ve, np.float64) / np.sqrt(sig[0] ** 2 + 1.0)
+    n_extra = len(solver.init_carry(jnp.zeros((1,)))) - 1
+    carry = (x,) + tuple(np.zeros_like(x) for _ in range(n_extra))
+    for i in range(solver.num_steps):
+        lat = solver.latent(carry)
+        X_ve = lat * np.sqrt(sig[i] ** 2 + 1.0)
+        eps = eps_fn(X_ve, sig[i])
+        carry = solver.advance({k: v[i] for k, v in xs.items()}, carry, eps)
+    return carry[0]
+
+
+_X0_CONV = np.array([[1.7, -0.6], [0.3, 2.1]])
+
+# (name, per-doubling ratio bounds (lo, hi), total err16/err64 reduction
+# floor). hi=None skips the upper check (predictor-corrector and warmup
+# families exceed their nominal order pre-asymptotically).
+_ORDER_CASES = [
+    ("euler", (1.5, 3.0), 3.4),
+    ("euler_karras", (1.5, 3.0), 3.4),
+    ("ddim", (1.4, 3.0), 3.2),
+    ("dpm", (2.6, None), 9.0),
+    ("dpm_karras", (2.8, None), 9.0),
+    ("heun", (3.0, None), 12.0),
+    ("heun_karras", (3.0, None), 12.0),
+    ("unipc", (4.0, None), 25.0),
+    ("unipc_karras", (4.0, None), 25.0),
+    ("lms", (2.6, None), 9.0),
+    ("lms_karras", (2.8, None), 9.0),
+    ("pndm", (2.0, None), 9.0),
+]
+
+
+@pytest.mark.parametrize("name,ratio_bounds,total_floor", _ORDER_CASES)
+def test_empirical_convergence_order(name, ratio_bounds, total_floor):
+    """eps = (sigma/sigma0)^2 integrates to the analytic
+    X(0) = X0 - sigma0/3; halving h must shrink the error at the family's
+    textbook order (order-1: ~2x per doubling, order-2+: >=~4x)."""
+    sch = make_sd15_schedule()
+    errs = []
+    for n in (16, 32, 64):
+        solver = make_solver(sch, name, n)
+        s0 = float(solver.sigmas[0])
+        out = _run_deterministic_f64(
+            solver, _X0_CONV,
+            lambda X, s, s0=s0: np.full_like(X, (s / s0) ** 2),
+        )
+        exact = _X0_CONV - s0 / 3.0
+        errs.append(float(np.max(np.abs(out - exact))))
+    lo, hi = ratio_bounds
+    for i in range(2):
+        ratio = errs[i] / errs[i + 1]
+        assert ratio >= lo * (0.9 if i == 0 else 1.0), (name, errs)
+        if hi is not None:
+            assert ratio <= hi, (name, errs)  # order-1 must NOT look order-2
+    assert errs[0] / errs[2] >= total_floor, (name, errs)
+
+
+def _eps_nonlinear(X, s):
+    return np.sin(X / 3.0) * (s / (1.0 + s)) + 0.1 * np.cos(s / 2.0)
+
+
+def _rk4_truth(sig0, X0, nsub):
+    ss = np.linspace(sig0, 0.0, nsub + 1)
+    X = np.asarray(X0, np.float64).copy()
+    for i in range(nsub):
+        h = ss[i + 1] - ss[i]
+        k1 = _eps_nonlinear(X, ss[i])
+        k2 = _eps_nonlinear(X + 0.5 * h * k1, ss[i] + 0.5 * h)
+        k3 = _eps_nonlinear(X + 0.5 * h * k2, ss[i] + 0.5 * h)
+        k4 = _eps_nonlinear(X + h * k3, ss[i + 1])
+        X = X + h / 6.0 * (k1 + 2 * k2 + 2 * k3 + k4)
+    return X
+
+
+# higher-order families must land much closer than the order-1 ones
+_AGREEMENT_TOL = {
+    "euler": 6e-3, "ddim": 6e-3, "pndm": 6e-3,
+    "dpm": 1e-3, "unipc": 1e-3, "heun": 1e-3, "lms": 1e-3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_AGREEMENT_TOL))
+def test_cross_family_agreement_vs_rk4(name):
+    """All deterministic samplers at N=200 must converge to the solution of
+    the same nonlinear PF-ODE as computed by an INDEPENDENT textbook RK4 —
+    a shared misreading of diffusers/k-diffusion coefficients would move
+    the converged answer, which RK4 does not share."""
+    sch = make_sd15_schedule()
+    solver = make_solver(sch, name, 200)
+    s0 = float(solver.sigmas[0])
+    truth = _rk4_truth(s0, _X0_CONV, 8000)
+    # the RK4 reference itself is converged (halving h moves it < 1e-9)
+    np.testing.assert_allclose(truth, _rk4_truth(s0, _X0_CONV, 4000),
+                               rtol=0, atol=1e-9)
+    out = _run_deterministic_f64(solver, _X0_CONV, _eps_nonlinear)
+    dev = float(np.max(np.abs(out - truth)))
+    assert dev <= _AGREEMENT_TOL[name], (name, dev)
