@@ -32,7 +32,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def run_cluster(out_dir, nproc=2, timeout=420):
+def run_cluster(out_dir, nproc=2, timeout=420, phase=""):
     port = _free_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     # the workers are independent JAX runtimes: drop the parent's pinned
@@ -40,7 +40,8 @@ def run_cluster(out_dir, nproc=2, timeout=420):
     env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(nproc), str(port), str(out_dir)],
+            [sys.executable, WORKER, str(i), str(nproc), str(port),
+             str(out_dir)] + ([phase] if phase else []),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for i in range(nproc)
@@ -79,3 +80,35 @@ def test_two_process_distributed_cycle(tmp_path):
     )
     expected_row = results[0]["global_sum"] * (1.0 + np.arange(4))
     np.testing.assert_allclose(results[0]["opt_m_row0"], expected_row)
+
+
+def test_four_process_fsdp_checkpoint_restart_resume(tmp_path):
+    """VERDICT round-3 #7: 4 processes (8 global devices), FSDP-sharded
+    trainables, and a sharded-checkpoint save -> REAL process restart ->
+    resume round trip across two separate cluster launches. The resumed
+    result must equal an uninterrupted run (verified in-worker against an
+    independent numpy reference)."""
+    # launch 1: 2 FSDP train steps, gather, save
+    procs, outs = run_cluster(tmp_path, nproc=4, timeout=600, phase="fsdp1")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"fsdp1 worker failed:\n{out[-4000:]}"
+    import json as _json
+
+    for i in range(4):
+        with open(tmp_path / f"result_{i}.json") as f:
+            r = _json.load(f)
+        assert r["n_global_devices"] == 8
+        assert r["global_sum"] == r["global_sum_expected"]
+        assert r["fsdp_saved_step"] == 2
+
+    # launch 2 (fresh processes): reload, re-shard, 1 more step
+    procs, outs = run_cluster(tmp_path, nproc=4, timeout=600, phase="fsdp2")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"fsdp2 worker failed:\n{out[-4000:]}"
+    sums = set()
+    for i in range(4):
+        with open(tmp_path / f"result_{i}.json") as f:
+            r = _json.load(f)
+        assert r["fsdp_resume_exact"] is True, r
+        sums.add(r["fsdp_final_checksum"])
+    assert len(sums) == 1  # every process gathered identical final state
