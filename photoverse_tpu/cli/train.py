@@ -418,6 +418,10 @@ def main(argv=None):
     step_fn = make_train_step(
         modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=face_solver,
         latent_size=latent_size,
+        # pin CLIP text activations batch-over-data on multi-device meshes
+        # (stops involuntary-remat reshards in the text backward under
+        # dp x model; engine/training.py docstring)
+        text_act_sharding=batch_sharding(mesh) if n_mesh * tp > 1 else None,
     )
     jstep = jax.jit(
         step_fn,

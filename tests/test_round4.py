@@ -68,3 +68,78 @@ class TestGenerateKarrasGuard:
         assert "karras_sigmas is invalid" in r.stderr
         # SystemExit fires before any model/jax heavy lifting
         assert "Traceback" not in r.stderr
+
+
+class TestClipActSharding:
+    """VERDICT r3 #4: explicit batch-over-data activation constraints in
+    the CLIP text encoder must (a) leave the numerics bit-identical and
+    (b) rid the dp x model train backward of SPMD involuntary-full-
+    rematerialization reshards."""
+
+    def _setup(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from photoverse_tpu.models.clip import CLIPTextConfig, CLIPTextEncoder
+        from photoverse_tpu.parallel.mesh import batch_sharding, replicated
+        from photoverse_tpu.parallel.tp import make_mesh_2d
+
+        cfg = CLIPTextConfig(
+            vocab_size=64, hidden_size=16, num_layers=2, num_heads=2,
+            intermediate_size=32, max_position_embeddings=12,
+        )
+        enc = CLIPTextEncoder(cfg)
+        rng = np.random.RandomState(0)
+        B = 4
+        ids = jnp.asarray(rng.randint(1, 64, (B, 12)), jnp.int32)
+        concept = jnp.asarray(rng.randn(B, 5, 16), jnp.float32)
+        pidx = jnp.full((B,), 3, jnp.int32)
+        params = enc.init(jax.random.PRNGKey(0), ids, concept, pidx)["params"]
+        mesh = make_mesh_2d(4, 2)
+        return enc, params, ids, concept, pidx, mesh, batch_sharding(mesh), replicated(mesh)
+
+    def _grad_fn(self, enc, sharded):
+        import jax
+
+        def loss(params, ids, concept, pidx, act_sh):
+            out, _ = enc.apply(
+                {"params": params}, ids, concept, pidx, act_sharding=act_sh
+            )
+            return (out.astype("float32") ** 2).mean()
+
+        return lambda p, i, c, x, sh: jax.grad(loss, argnums=2)(p, i, c, x, sh)
+
+    def test_constraint_is_numerically_transparent(self):
+        import jax
+        import numpy as np
+
+        enc, params, ids, concept, pidx, mesh, bsh, repl = self._setup()
+        g = self._grad_fn(enc, None)
+        base = jax.jit(lambda p, i, c, x: g(p, i, c, x, None))(
+            params, ids, concept, pidx
+        )
+        jit_sharded = jax.jit(
+            lambda p, i, c, x: g(p, i, c, x, bsh),
+            in_shardings=(repl, bsh, bsh, bsh),
+            out_shardings=repl,
+        )
+        got = jit_sharded(params, ids, concept, pidx)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(base), rtol=1e-6, atol=1e-7
+        )
+
+    def test_no_involuntary_remat_in_text_backward(self, capfd):
+        import jax
+
+        enc, params, ids, concept, pidx, mesh, bsh, repl = self._setup()
+        g = self._grad_fn(enc, None)
+        jit_sharded = jax.jit(
+            lambda p, i, c, x: g(p, i, c, x, bsh),
+            in_shardings=(repl, bsh, bsh, bsh),
+            out_shardings=repl,
+        )
+        capfd.readouterr()  # drain anything emitted before this compile
+        jax.block_until_ready(jit_sharded(params, ids, concept, pidx))
+        err = capfd.readouterr().err
+        assert "Involuntary full rematerialization" not in err, err[-3000:]
