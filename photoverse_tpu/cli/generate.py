@@ -201,22 +201,21 @@ def main(argv=None):
     sharding_mode = args.sharding
     if args.data_parallel and sharding_mode == "none":
         sharding_mode = "data"
-    if sharding_mode in ("spatial", "tensor") and args.fast:
-        raise SystemExit(
-            "--sharding spatial/tensor requires the jnp attention path — "
-            "drop --fast (the Pallas kernels are single-device custom "
-            "calls GSPMD cannot shard)"
-        )
+    # under spatial/tensor sharding, --fast keeps bf16 + fast norms/scores;
+    # flash attention is re-enabled AFTER the mesh exists via the shard_map
+    # wrapper (parallel/flash.py). The fused block-tail kernel has no
+    # sharded wrapper and stays off in those modes.
+    model_sharded = sharding_mode in ("spatial", "tensor")
     tokenizer, modules, params, _ = load_models(
         args.model_path,
         extra_num_tokens=args.extra_num_tokens,
         photoverse_path=ckpt,
         image_encoder_layers_idx=tuple(args.encoder_layers_idx),
         dtype=dtype,
-        use_flash_attention=args.fast and on_tpu,
+        use_flash_attention=args.fast and on_tpu and not model_sharded,
         fast_attention_scores=args.fast,
         fast_norms=args.fast,
-        fused_blocks=args.fast and on_tpu,
+        fused_blocks=args.fast and on_tpu and not model_sharded,
         int8_conditioning=args.int8_conditioning,
         tp_friendly_ffn=sharding_mode == "tensor",
     )
@@ -296,6 +295,13 @@ def main(argv=None):
             mp = args.model_parallel or n_dev
             dp = max(n_dev // mp, 1)
         mesh = make_mesh_2d(dp, mp)
+        if args.fast and on_tpu and model_sharded:
+            # restore the flash fast path under TP/SP via the shard_map
+            # wrapper now that the mesh exists (parallel/flash.py); `gen`
+            # closes over `modules` and traces after this rebind
+            from photoverse_tpu.parallel.flash import enable_sharded_flash
+
+            modules = enable_sharded_flash(modules, mesh, sharding_mode)
         pad = (-B) % dp
         if pad:
             dev_example = {

@@ -101,8 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "spatial = GSPMD patch parallelism (latent height "
                         "sharded, halo-exchanged convs — cuts batch-1 "
                         "latency; parallel/sp.py); tensor = Megatron "
-                        "heads/FFN UNet sharding (parallel/tp.py). Both "
-                        "require the jnp attention path (no --fast)")
+                        "heads/FFN UNet sharding (parallel/tp.py). With "
+                        "--fast the flash kernel runs sharded via its "
+                        "shard_map wrapper (parallel/flash.py); the fused "
+                        "block-tail kernel stays off")
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU platform (the axon TPU plugin "
                         "ignores the JAX_PLATFORMS env var)")
@@ -157,21 +159,21 @@ class PhotoVerseService:
         self.jnp = jnp
         on_tpu = jax.default_backend() == "tpu"
         dtype = jnp.bfloat16 if args.fast else jnp.float32
-        if args.sharding != "none" and args.fast:
-            raise SystemExit(
-                "--sharding requires the jnp attention path — drop --fast "
-                "(the Pallas kernels are single-device custom calls)"
-            )
+        # under --sharding, --fast keeps bf16 + fast norms/scores; flash is
+        # re-enabled below via the shard_map wrapper (parallel/flash.py);
+        # the fused block-tail kernel has no sharded wrapper and stays off
+        model_sharded = args.sharding != "none"
+        self._want_sharded_flash = args.fast and on_tpu and model_sharded
         self.tokenizer, self.modules, self.params, _ = load_models(
             args.model_path,
             extra_num_tokens=args.extra_num_tokens,
             photoverse_path=args.checkpoint_path or None,
             image_encoder_layers_idx=tuple(args.encoder_layers_idx),
             dtype=dtype,
-            use_flash_attention=args.fast and on_tpu,
+            use_flash_attention=args.fast and on_tpu and not model_sharded,
             fast_attention_scores=args.fast,
             fast_norms=args.fast,
-            fused_blocks=args.fast and on_tpu,
+            fused_blocks=args.fast and on_tpu and not model_sharded,
             int8_conditioning=args.int8_conditioning,
             tp_friendly_ffn=args.sharding == "tensor",
         )
@@ -240,6 +242,15 @@ class PhotoVerseService:
             )
 
             mesh = make_mesh_2d(1, n_dev)
+            if self._want_sharded_flash:
+                # keep the flash fast path under TP/SP (shard_map wrapper;
+                # parallel/flash.py) — must happen before the pipelines
+                # trace self.modules
+                from photoverse_tpu.parallel.flash import enable_sharded_flash
+
+                self.modules = enable_sharded_flash(
+                    self.modules, mesh, args.sharding
+                )
             if args.sharding == "tensor":
                 validate_tp(self.modules.unet.config, n_dev)
                 self.param_sh = bundle_tp_shardings(mesh, self.params)

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import List, Optional, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,15 @@ class UNetConfig:
     remat_policy: str = ""
     # Pallas flash attention for long self-attention sequences (TPU)
     use_flash_attention: bool = False
+    # engage flash only at sequence lengths >= this (short levels are
+    # cheaper on the jnp path); lowered by tiny-config tests/dryruns
+    flash_min_seq: int = 1024
+    # custom flash callable with the flash_sdpa_diff signature
+    # (q, k, v, fast_scores) -> out. Installed by
+    # parallel.flash.enable_sharded_flash so TP/SP serving keeps the
+    # Pallas fast path via shard_map (None = the stock single-device
+    # kernel). Inference-only when set.
+    flash_fn: Optional[Callable] = None
     # store attention scores/probs in bf16 (halves self-attention HBM
     # traffic; ~6e-5 output deviation — inference fast path)
     fast_attention_scores: bool = False
@@ -243,6 +252,7 @@ class SelfAttention(nn.Module):
     use_flash: bool = False
     flash_min_seq: int = 1024
     fast_scores: bool = False
+    flash_fn: Optional[Callable] = None  # shard_map wrapper (parallel/flash.py)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -257,10 +267,15 @@ class SelfAttention(nn.Module):
             # custom flash kernel: keeps K/V in VMEM, tuned for the SD UNet's
             # small head dims (jax's stock kernel pads d 40->128 and loses);
             # fast_scores runs the kernel matmuls at the bf16 MXU rate
-            # (inference only — gradients always take the f32 path)
-            from photoverse_tpu.ops.flash_sdpa import flash_sdpa_diff
+            # (inference only — gradients always take the f32 path).
+            # flash_fn (when set) is the shard_map-wrapped kernel that keeps
+            # this fast path alive under TP/SP multi-chip serving
+            if self.flash_fn is not None:
+                out = self.flash_fn(q, k, v, self.fast_scores)
+            else:
+                from photoverse_tpu.ops.flash_sdpa import flash_sdpa_diff
 
-            out = flash_sdpa_diff(q, k, v, self.fast_scores)
+                out = flash_sdpa_diff(q, k, v, self.fast_scores)
         else:
             out = sdpa(q, k, v, fast_scores=self.fast_scores)
         out = out.reshape(B, S, C)
@@ -361,7 +376,9 @@ class TransformerBlock(nn.Module):
     fusion_rule1: float = 1.0 / 3.0
     fusion_rule2: float = 2.0 / 3.0
     use_flash: bool = False
+    flash_min_seq: int = 1024
     fast_scores: bool = False
+    flash_fn: Optional[Callable] = None
     train: bool = False
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
@@ -393,8 +410,9 @@ class TransformerBlock(nn.Module):
         )
         h = h + SelfAttention(
             C, self.num_heads, use_flash=self.use_flash,
-            fast_scores=self.fast_scores, name="attn1",
-            dtype=self.dtype,
+            flash_min_seq=self.flash_min_seq,
+            fast_scores=self.fast_scores, flash_fn=self.flash_fn,
+            name="attn1", dtype=self.dtype,
         )(ln("norm1")(h).astype(self.dtype))
         if fused_bundle is not None and not self.train and ip_mask is None:
             # the whole block tail (LN2 + dual-cross + LN3 + GEGLU + both
@@ -544,7 +562,9 @@ class UNet2DCondition(nn.Module):
             fusion_rule1=cfg.fusion_rule1,
             fusion_rule2=cfg.fusion_rule2,
             use_flash=cfg.use_flash_attention,
+            flash_min_seq=cfg.flash_min_seq,
             fast_scores=cfg.fast_attention_scores,
+            flash_fn=cfg.flash_fn,
             train=train,
             groups=cfg.norm_num_groups,
             dtype=self.dtype,

@@ -117,17 +117,22 @@ def flash_sdpa(
     k chunk that keeps the (q_tile, k_tile) f32 score tile within VMEM is
     ~14% faster than small chunks (fewer online-softmax rescales).
     fast_scores runs the MXU matmuls in bf16 (f32 accumulation).
+
+    K/V may carry a different (longer) sequence than Q — the
+    sequence-parallel wrapper (parallel/flash.py) feeds local query rows
+    against the all-gathered full key set.
     """
     B, S, H, d = q.shape
+    Skv = k.shape[1]
     BH = B * H
     tq = min(q_tile, S)
     while S % tq:
         tq -= 1
-    tk = min(k_tile, S)
+    tk = min(k_tile, Skv)
     # keep the f32 score tile + exp temporaries comfortably inside VMEM
     while tq * tk * 4 > 8 * 1024 * 1024:
         tk //= 2
-    while S % tk:
+    while Skv % tk:
         tk -= 1
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
@@ -137,16 +142,16 @@ def flash_sdpa(
         grid=(BH, S // tq),
         in_specs=[
             pl.BlockSpec((1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Skv, d), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tq, d), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * BH * S * S * d,
-            bytes_accessed=4 * BH * S * d * q.dtype.itemsize,
-            transcendentals=BH * S * S,
+            flops=4 * BH * S * Skv * d,
+            bytes_accessed=2 * BH * (S + Skv) * d * q.dtype.itemsize,
+            transcendentals=BH * S * Skv,
         ),
     )(qf, kf, vf)
     return out.reshape(B, H, S, d).transpose(0, 2, 1, 3)

@@ -29,9 +29,11 @@ latent height AT THE DEEPEST PYRAMID LEVEL (SD-1.5 at 512px: 64 latent
 rows through 3 downsamples -> 8 rows at the bottom, so sp in {2,4,8};
 validate_sp enforces this).
 
-The Pallas fast paths (flash attention, fused block tails) are
-single-device custom calls — spatial sharding requires the jnp
-attention path, like TP (parallel/tp.validate_tp).
+The flash fast path survives SP via the shard_map wrapper in
+parallel/flash.py (local query rows against all-gathered K/V — the
+standard sequence-parallel attention decomposition); the fused
+block-tail kernel has no sharded wrapper and stays off
+(parallel/tp.validate_tp, validate_sp below).
 """
 
 from __future__ import annotations
@@ -69,8 +71,15 @@ def validate_sp(unet_config, latent_size: int, sp: int) -> None:
             f"{min_h} (latent {latent_size}, "
             f"{len(unet_config.block_out_channels) - 1} downsamples)"
         )
-    if unet_config.use_flash_attention or unet_config.fused_blocks:
+    if unet_config.use_flash_attention and unet_config.flash_fn is None:
         raise ValueError(
-            "spatial parallelism requires the jnp attention path "
-            "(disable use_flash_attention / fused_blocks)"
+            "spatial parallelism needs the shard_map-wrapped flash kernel "
+            "(parallel.flash.enable_sharded_flash) or the jnp attention "
+            "path — the bare Pallas kernel is a single-device custom call "
+            "GSPMD cannot shard"
+        )
+    if unet_config.fused_blocks:
+        raise ValueError(
+            "spatial parallelism requires fused_blocks off (the fused "
+            "block-tail kernel has no sharded wrapper)"
         )

@@ -37,9 +37,10 @@ Design — annotate, don't rewrite:
       which composes with TP on a 2-D mesh.
 
 Requirements: tp must divide num_heads (8 for SD-1.5, so tp in {2,4,8}).
-The Pallas fast paths (flash attention, fused block tails) are single-
-device kernels — run TP with the jnp attention path (the CLIs enforce
-this); a shard_map-wrapped flash kernel is future work.
+The flash fast path survives TP via the shard_map wrapper in
+parallel/flash.py (heads are sharded, so every device runs the unmodified
+Pallas kernel on its local heads — zero attention-internal comms); the
+fused block-tail kernel has no sharded wrapper and stays off.
 """
 
 from __future__ import annotations
@@ -210,9 +211,15 @@ def validate_tp(unet_config, tp: int) -> None:
             f"tensor_parallel={tp} must divide num_heads="
             f"{unet_config.num_heads}"
         )
-    if unet_config.use_flash_attention or unet_config.fused_blocks:
+    if unet_config.use_flash_attention and unet_config.flash_fn is None:
         raise ValueError(
-            "tensor parallelism requires the jnp attention path "
-            "(disable use_flash_attention / fused_blocks; the Pallas "
-            "kernels are single-device custom calls GSPMD cannot shard)"
+            "tensor parallelism needs the shard_map-wrapped flash kernel "
+            "(parallel.flash.enable_sharded_flash) or the jnp attention "
+            "path — the bare Pallas kernel is a single-device custom call "
+            "GSPMD cannot shard"
+        )
+    if unet_config.fused_blocks:
+        raise ValueError(
+            "tensor parallelism requires fused_blocks off (the fused "
+            "block-tail kernel has no sharded wrapper)"
         )
