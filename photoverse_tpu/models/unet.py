@@ -93,6 +93,16 @@ class UNetConfig:
     # query-tile rows per kernel program (ablated in PERFORMANCE.md round 3:
     # 512 > 256; 1024 needs the bf16 GEGLU temporaries of fast mode)
     fused_block_q_tile: int = 512
+    # stream each transformer block in the flattened (B, S, C) sequence
+    # layout: collapse NHWC -> (B, S, C) ONCE at block entry, take the
+    # GroupNorm statistics there, and run proj_in/proj_out as matmuls on
+    # the SAME conv params (a 1x1 conv IS x @ kernel[0,0] + bias, so the
+    # param tree and the numerics are bit-identical). This removes the
+    # NHWC<->sequence relayout points XLA otherwise inserts between the
+    # GN/conv pair and the attention stack — the round-3 profile's
+    # convert_reduce/generic-fusion HBM pool (VERDICT r3 #1, layout-level
+    # attack). Measured end-to-end before any default flip.
+    seq_transformer: bool = False
     # compute the GEGLU value/gate halves as two weight-slice matmuls
     # instead of one matmul + activation split — numerically identical
     # (every output column is an independent dot product) and param-tree
@@ -241,6 +251,32 @@ class _GEGLUDense(nn.Module):
         return x @ k[:, :half] + b[:half], x @ k[:, half:] + b[half:]
 
 
+class _Conv1x1AsMatmul(nn.Module):
+    """A 1x1 VALID conv executed as a matmul on the (B, S, C) view.
+
+    Declares the SAME parameters as ``nn.Conv(features, (1, 1))`` —
+    kernel (1, 1, C_in, features) lecun_normal, bias (features,) zeros —
+    so checkpoints are interchangeable with the NHWC conv form; the
+    contraction x @ kernel[0, 0] + bias is the identical dot product.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, S, C)
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return x @ kernel[0, 0].astype(self.dtype) + bias.astype(self.dtype)
+
+
 class SelfAttention(nn.Module):
     """attn1. With use_flash, long sequences go through the Pallas TPU flash
     attention kernel — the jnp path materializes (B, H, S, S) f32 scores in
@@ -386,6 +422,7 @@ class TransformerBlock(nn.Module):
     fast_reductions: bool = False
     fused_q_tile: int = 512
     tp_friendly_ffn: bool = False
+    seq_stream: bool = False  # UNetConfig.seq_transformer
 
     @nn.compact
     def __call__(
@@ -399,10 +436,23 @@ class TransformerBlock(nn.Module):
         fused_bundle: Optional[dict] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B, Hh, Ww, C = x.shape
-        residual = x
-        h = _gn("norm", self.groups, eps=1e-6, dtype=self.norm_dtype, fast_reductions=self.fast_reductions)(x).astype(self.dtype)
-        h = nn.Conv(C, (1, 1), padding="VALID", name="proj_in", dtype=self.dtype)(h)
-        h = h.reshape(B, Hh * Ww, C)
+        gn = _gn(
+            "norm", self.groups, eps=1e-6, dtype=self.norm_dtype,
+            fast_reductions=self.fast_reductions,
+        )
+        if self.seq_stream:
+            # whole block in the (B, S, C) sequence layout: GroupNorm
+            # statistics over (S, C/G) are the same reduction as (H, W, C/G),
+            # and proj_in is the identical dot via the conv params
+            residual = x.reshape(B, Hh * Ww, C)
+            h = _Conv1x1AsMatmul(C, name="proj_in", dtype=self.dtype)(
+                gn(residual).astype(self.dtype)
+            )
+        else:
+            residual = x
+            h = gn(x).astype(self.dtype)
+            h = nn.Conv(C, (1, 1), padding="VALID", name="proj_in", dtype=self.dtype)(h)
+            h = h.reshape(B, Hh * Ww, C)
 
         ln = lambda name: nn.LayerNorm(
             epsilon=1e-5, name=name, dtype=self.norm_dtype,
@@ -471,6 +521,10 @@ class TransformerBlock(nn.Module):
                 a * jax.nn.gelu(gate, approximate=False)
             )
 
+        if self.seq_stream:
+            h = _Conv1x1AsMatmul(C, name="proj_out", dtype=self.dtype)(h)
+            h = (h + residual.astype(self.dtype)).reshape(B, Hh, Ww, C)
+            return h, v_ip_norm
         h = h.reshape(B, Hh, Ww, C)
         h = nn.Conv(C, (1, 1), padding="VALID", name="proj_out", dtype=self.dtype)(h)
         return h + residual.astype(self.dtype), v_ip_norm
@@ -572,6 +626,7 @@ class UNet2DCondition(nn.Module):
             fast_reductions=fast_red,
             fused_q_tile=cfg.fused_block_q_tile,
             tp_friendly_ffn=cfg.tp_friendly_ffn,
+            seq_stream=cfg.seq_transformer,
         )
 
         norms: List[jnp.ndarray] = []

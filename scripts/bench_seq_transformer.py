@@ -1,0 +1,100 @@
+"""Same-process A/B: seq_transformer (B,S,C)-streamed transformer blocks.
+
+VERDICT r3 #1 layout-level attack on the GN/LN-stats + elementwise HBM
+pool: collapse NHWC -> (B,S,C) once per block, GroupNorm there, and run
+proj_in/proj_out as matmuls on the conv params. Numerics are identical
+(tests/test_round4.py::TestSeqTransformer), so the ONLY question is the
+end-to-end clock under the headline bench recipe (bench.py config:
+bf16 + flash + fast norms/scores + fused blocks, batch 16, 50 steps).
+
+Protocol = bench.py's: value-fetch per trial, fresh PRNGKeys (relay
+cache), double warmup, median of N with the 20% outlier retry.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_DEFAULT_MATMUL_PRECISION", "bfloat16")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from photoverse_tpu.core.schedulers import DPMSolverMultistep
+from photoverse_tpu.engine.inference import run_inference
+from photoverse_tpu.models.assembly import build_models, init_params
+
+BATCH, STEPS, TRIALS = 16, 50, 5
+
+
+def note(msg):
+    print(f"# {msg}", flush=True)
+
+
+def with_seq(modules, seq):
+    cfg = dataclasses.replace(modules.unet.config, seq_transformer=seq)
+    return dataclasses.replace(modules, unet=modules.unet.clone(config=cfg))
+
+
+def bench(modules, params, label):
+    solver = DPMSolverMultistep.create(modules.schedule, STEPS)
+    rng = np.random.RandomState(0)
+    example = {
+        "pixel_values": jnp.asarray(rng.randn(BATCH, 512, 512, 3), jnp.float32),
+        "pixel_values_clip": jnp.asarray(rng.randn(BATCH, 224, 224, 3), jnp.float32),
+        "text_input_ids": jnp.asarray(rng.randint(0, 49408, (BATCH, 77)), jnp.int32),
+        "concept_placeholder_idx": jnp.full((BATCH,), 5, jnp.int32),
+    }
+    jgen = jax.jit(
+        lambda p, k: run_inference(
+            modules, p, solver, example, k, guidance_scale=1.0, token_index=0
+        )
+    )
+    t = time.perf_counter()
+    float(jnp.sum(jgen(params, jax.random.PRNGKey(1))[0]))
+    note(f"{label}: compile+first {time.perf_counter() - t:.1f}s")
+    for i in range(2):
+        float(jnp.sum(jgen(params, jax.random.PRNGKey(2 + i))[0]))
+    samples = []
+    for i in range(TRIALS):
+        t0 = time.perf_counter()
+        float(jnp.sum(jgen(params, jax.random.PRNGKey(10 + i))[0]))
+        samples.append(BATCH / (time.perf_counter() - t0))
+        note(f"{label} trial {i + 1}: {samples[-1]:.4f} imgs/s")
+    med = float(np.median(samples))
+    kept = [s for s in samples if abs(s - med) / med <= 0.2]
+    return float(np.median(kept)), samples, jgen(params, jax.random.PRNGKey(99))
+
+
+def main():
+    base = build_models(
+        dtype=jnp.bfloat16, fast_attention_scores=True,
+        use_flash_attention=True, fast_norms=True, fused_blocks=True,
+    )
+    params = init_params(base, jax.random.PRNGKey(0))
+    note("params initialized")
+    off, on = with_seq(base, False), with_seq(base, True)
+    m_off, s_off, img_off = bench(off, params, "seq=off")
+    m_on, s_on, img_on = bench(on, params, "seq=on")
+    dev = float(jnp.max(jnp.abs(img_on[0].astype(jnp.float32)
+                                - img_off[0].astype(jnp.float32))))
+    print(json.dumps({
+        "seq_off_imgs_per_sec": round(m_off, 4),
+        "seq_on_imgs_per_sec": round(m_on, 4),
+        "ratio": round(m_on / m_off, 4),
+        "trials_off": [round(s, 4) for s in s_off],
+        "trials_on": [round(s, 4) for s in s_on],
+        "max_pixel_deviation": dev,
+    }))
+
+
+if __name__ == "__main__":
+    main()

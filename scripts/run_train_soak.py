@@ -57,7 +57,8 @@ def build_fixtures(root: pathlib.Path, n_images: int = 64, res: int = 512):
         note("synthesizing sd15-scale random checkpoint (~5 GB)")
         from scripts.make_random_checkpoint import make_checkpoint
 
-        make_checkpoint(str(sd), scale="sd15", seed=0)
+        # make_checkpoint(out) writes to <out>/sd
+        make_checkpoint(str(root), scale="sd15", seed=0)
     ds = root / "ds" / "images"
     if len(list(ds.glob("*.jpg"))) < n_images:
         ds.mkdir(parents=True, exist_ok=True)
