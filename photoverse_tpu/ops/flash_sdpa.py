@@ -32,6 +32,26 @@ __all__ = [
 ]
 
 
+def _pick_k_tile(k_tile: int, Skv: int, tq: int, fast_scores: bool) -> int:
+    """Largest k chunk whose kernel-stack score temporaries fit VMEM.
+
+    The resident-K/V kernels hold BOTH the f32 score tile s AND
+    p = exp(s - m) simultaneously (p is bf16 under fast_scores, f32
+    otherwise); Mosaic's scoped-VMEM limit is 16 MB. Budget 12 MiB for
+    the pair: fast keeps the measured (512, 4096) config (12.0 MiB,
+    fits at 12.32 MB total), the f32 path halves to (512, 2048) — at
+    (512, 4096) f32 the stack needs 16.32 MB and the compiler rejects
+    it (hit by the r04 train soak, which differentiates the f32 primal).
+    """
+    tk = min(k_tile, Skv)
+    score_bytes = 4 + (2 if fast_scores else 4)
+    while tq * tk * score_bytes > 12 * 1024 * 1024:
+        tk //= 2
+    while Skv % tk:
+        tk -= 1
+    return tk
+
+
 def _kernel_lse(q_ref, k_ref, v_ref, out_ref, lse_ref, *, tk: int):
     # like _kernel but also emits log-sum-exp per query row (for backward)
     TQ, d = q_ref.shape[1], q_ref.shape[2]
@@ -128,12 +148,7 @@ def flash_sdpa(
     tq = min(q_tile, S)
     while S % tq:
         tq -= 1
-    tk = min(k_tile, Skv)
-    # keep the f32 score tile + exp temporaries comfortably inside VMEM
-    while tq * tk * 4 > 8 * 1024 * 1024:
-        tk //= 2
-    while Skv % tk:
-        tk -= 1
+    tk = _pick_k_tile(k_tile, Skv, tq, fast_scores)
 
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     out = pl.pallas_call(
@@ -175,11 +190,9 @@ def _flash_fwd_lse(q, k, v, q_tile: int = 512, k_tile: int = 4096):
     tq = min(q_tile, S)
     while S % tq:
         tq -= 1
-    tk = min(k_tile, S)
-    while tq * tk * 4 > 8 * 1024 * 1024:
-        tk //= 2
-    while S % tk:
-        tk -= 1
+    # all-f32 kernel: s + p coexist at 8 bytes per score element —
+    # (512, 2048) for the SD 64x64 level
+    tk = _pick_k_tile(k_tile, S, tq, fast_scores=False)
     qf, kf, vf = _fold(q), _fold(k), _fold(v)
     out, lse = pl.pallas_call(
         functools.partial(_kernel_lse, tk=tk),

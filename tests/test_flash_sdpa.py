@@ -31,6 +31,30 @@ def test_flash_uneven_tiles():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
 
 
+def test_k_tile_budgets_both_score_temporaries():
+    """Regression: at the SD 64x64 shape (tq=512, Skv=4096) the kernel
+    stack holds s AND p — f32 needs 8 B/elem (16.32 MB at tk=4096,
+    over Mosaic's 16 MB scoped limit; hit by the r04 train soak), so the
+    f32 path must halve tk while the measured bf16-p fast config keeps
+    tk=4096 (12.0 MiB)."""
+    from photoverse_tpu.ops.flash_sdpa import _pick_k_tile
+
+    assert _pick_k_tile(4096, 4096, 512, fast_scores=True) == 4096
+    assert _pick_k_tile(4096, 4096, 512, fast_scores=False) == 2048
+    # uneven Skv still divides after the VMEM halving
+    assert 768 % _pick_k_tile(4096, 768, 512, fast_scores=False) == 0
+
+
+def test_flash_f32_large_kv_tile_halving_matches():
+    """The f32 (fast_scores=False) route with a k_tile the VMEM guard
+    must halve produces the same numerics as the reference."""
+    q, k, v = _data(S=256, seed=3)
+    want = sdpa(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_sdpa(q, k, v, q_tile=256, k_tile=256, fast_scores=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
 def test_flash_gradients_match():
     q, k, v = _data(S=64, seed=2)
 
