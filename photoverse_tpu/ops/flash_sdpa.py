@@ -322,12 +322,19 @@ def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
     vec_row = lambda t: pl.BlockSpec((1, t, 8), lambda b, i: (b, i, 0),
                                      memory_space=pltpu.VMEM)
 
+    # The bwd kernels keep full-S K/V blocks, the dk/dv out blocks, AND the
+    # f32 scratch accumulators resident at once; with d=40 lane-padded to
+    # 128 that is ~21.5 MB at the SD 64x64 level (S=4096) — over Mosaic's
+    # default 16 MB scoped-VMEM cap (hit by the r04 train soak). Raise the
+    # cap like ops/fused_block.py does; v5e has 128 MB VMEM per core.
+    bwd_params = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, tk=tk),
         out_shape=jax.ShapeDtypeStruct((BH, S, d), q.dtype),
         grid=(BH, S // tq),
         in_specs=[row(tq), row(tq), vec_row(tq), vec_row(tq), full(), full()],
         out_specs=row(tq),
+        compiler_params=bwd_params,
     )(qf, gf, lse8, delta8, kf, vf)
 
     dk, dv = pl.pallas_call(
@@ -346,6 +353,7 @@ def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
             pltpu.VMEM((S, d), jnp.float32),
             pltpu.VMEM((S, d), jnp.float32),
         ],
+        compiler_params=bwd_params,
     )(qf, gf, lse8, delta8, kf, vf)
     return _unfold(dq, B, H), _unfold(dk, B, H), _unfold(dv, B, H)
 
