@@ -112,8 +112,9 @@ def parse_args(argv=None):
                    help="Megatron-style UNet tensor parallelism over a "
                         "model mesh axis (parallel/tp.py), composing with "
                         "data parallelism on a 2-D mesh. Must divide "
-                        "num_heads (8 for SD-1.5); requires the jnp "
-                        "attention path (no --flash_attention)")
+                        "num_heads (8 for SD-1.5). --flash_attention stays "
+                        "available through its shard_map wrapper "
+                        "(parallel/flash.py); --fused_blocks is not")
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash self-attention (exact; TPU fast path)")
     p.add_argument("--remat", action="store_true",
@@ -367,8 +368,14 @@ def main(argv=None):
             validate_tp,
         )
 
-        validate_tp(modules.unet.config, tp)
         mesh = make_mesh_2d(n_mesh, tp)
+        if args.flash_attention:
+            # keep the Pallas fast path under TP: heads-sharded shard_map
+            # wrapper, differentiable per-shard (parallel/flash.py)
+            from photoverse_tpu.parallel.flash import enable_sharded_flash
+
+            modules = enable_sharded_flash(modules, mesh, "tensor")
+        validate_tp(modules.unet.config, tp)
         t_sh = tree_tp_shardings(mesh, trainable)
         f_sh = tree_tp_shardings(mesh, frozen)
         o_base = tree_tp_shardings(mesh, opt_state)

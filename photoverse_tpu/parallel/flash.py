@@ -22,10 +22,17 @@ shard:
             query rows against the full key set. flash_sdpa natively
             supports Skv > Sq for exactly this.
 
-Inference-only: the Pallas kernel has a custom VJP for the equal-length
-case, but the sharded wrapper is consumed by the serving/generate paths
-(reference inference: /root/reference/models/infer.py:98-119); training
-keeps the jnp route under TP (cli/train.py).
+Differentiable under "tensor": the wrapper routes through flash_sdpa_diff
+(whose primal is exactly flash_sdpa, so inference is unchanged), and
+shard_map is transparent to autodiff — each device runs the Pallas forward
+AND backward kernels on its own heads, fully locally. This lets TP
+*training* (cli/train.py --tensor_parallel --flash_attention) keep the
+fast path too, not just serving (reference inference:
+/root/reference/models/infer.py:98-119). "spatial" stays inference-only:
+after the K/V all-gather the local problem is unequal-length (Sq < Skv),
+which the Pallas backward does not model — differentiating it fails
+loudly at the kernel's block-shape check, and SP is the batch-1 serving
+mode anyway.
 
 Install via `enable_sharded_flash(modules, mesh, mode)` after the mesh
 exists — it swaps the UNet module for one whose config carries the
@@ -51,13 +58,16 @@ def sharded_flash(mesh, mode: str):
     the model axis) or "spatial" (sequence over the model axis)."""
     from photoverse_tpu.parallel.tp import MODEL_AXIS
 
-    from photoverse_tpu.ops.flash_sdpa import flash_sdpa
+    # flash_sdpa_diff's primal body IS flash_sdpa (same kernel, same
+    # fast_scores semantics), and it carries the Pallas fwd/bwd custom VJP —
+    # so the wrapper serves inference unchanged and differentiates per-shard
+    from photoverse_tpu.ops.flash_sdpa import flash_sdpa_diff
 
     if mode == "tensor":
         spec = P(DATA_AXIS, None, MODEL_AXIS, None)  # (B, S, H, d)
 
         def local(q, k, v, fast_scores):
-            return flash_sdpa(q, k, v, fast_scores=fast_scores)
+            return flash_sdpa_diff(q, k, v, fast_scores)
 
     elif mode == "spatial":
         spec = P(DATA_AXIS, MODEL_AXIS, None, None)  # (B, S, H, d)
@@ -65,7 +75,7 @@ def sharded_flash(mesh, mode: str):
         def local(q, k, v, fast_scores):
             k = jax.lax.all_gather(k, MODEL_AXIS, axis=1, tiled=True)
             v = jax.lax.all_gather(v, MODEL_AXIS, axis=1, tiled=True)
-            return flash_sdpa(q, k, v, fast_scores=fast_scores)
+            return flash_sdpa_diff(q, k, v, fast_scores)
 
     else:
         raise ValueError(f"unknown sharded-flash mode {mode!r}")

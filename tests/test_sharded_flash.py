@@ -156,3 +156,68 @@ def test_validators_still_reject_bare_flash():
             assert False, "expected ValueError for bare flash under TP/SP"
         except ValueError as e:
             assert "shard_map" in str(e)
+
+
+def test_tp_train_step_with_flash_matches_single_device():
+    """TP TRAINING keeps the flash fast path: one optimizer step on the
+    (2 data x 2 model) mesh with the heads-sharded differentiable
+    shard_map flash wrapper reproduces the single-device step that uses
+    the bare flash kernel (same Pallas fwd/bwd per head, so the heads
+    split is exact). Covers cli/train.py --tensor_parallel
+    --flash_attention (round-4 extension of VERDICT r3 #3)."""
+    from photoverse_tpu.engine.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from photoverse_tpu.parallel.tp import tree_tp_shardings
+
+    modules, params = tiny_bundle(lora_rank=4)
+    flash_cfg = dataclasses.replace(
+        modules.unet.config, use_flash_attention=True, flash_min_seq=64
+    )
+    modules_flash = dataclasses.replace(
+        modules, unet=type(modules.unet)(flash_cfg, dtype=modules.unet.dtype)
+    )
+    cfg = TrainConfig(max_train_steps=5, lr_warmup_steps=1, learning_rate=1e-3)
+    tx, _ = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules_flash, params, tx)
+    batch = tiny_batch(B=4, seed=5)
+    key = jax.random.PRNGKey(6)
+    with pltpu.force_tpu_interpret_mode():
+        ref_step = jax.jit(make_train_step(modules_flash, cfg, tx, latent_size=LATENT))
+        ref_trainable, _, ref_metrics = ref_step(
+            trainable, frozen, opt_state, batch, key
+        )
+
+    mesh = make_mesh_2d(2, 2)
+    tp_cfg = dataclasses.replace(flash_cfg, tp_friendly_ffn=True)
+    modules_tp = dataclasses.replace(
+        modules, unet=type(modules.unet)(tp_cfg, dtype=modules.unet.dtype)
+    )
+    modules_f = enable_sharded_flash(modules_tp, mesh, "tensor", flash_min_seq=64)
+    validate_tp(modules_f.unet.config, 2)
+    t_sh = tree_tp_shardings(mesh, trainable)
+    f_sh = tree_tp_shardings(mesh, frozen)
+    o_sh = tree_tp_shardings(mesh, opt_state)
+    repl = replicated(mesh)
+    jstep = jax.jit(
+        make_train_step(modules_f, cfg, tx, latent_size=LATENT),
+        in_shardings=(t_sh, f_sh, o_sh, batch_sharding(mesh), repl),
+        out_shardings=(t_sh, o_sh, repl),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        new_t, _, metrics = jstep(
+            jax.tree.map(jax.device_put, trainable, t_sh),
+            jax.tree.map(jax.device_put, frozen, f_sh),
+            jax.tree.map(jax.device_put, opt_state, o_sh),
+            shard_batch(mesh, batch),
+            key,
+        )
+        new_t = jax.device_get(new_t)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree.leaves(ref_trainable), jax.tree.leaves(new_t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
