@@ -184,6 +184,15 @@ def main(argv=None):
         from photoverse_tpu.utils.platform import force_cpu
 
         force_cpu()
+    else:
+        from photoverse_tpu.utils.platform import (
+            DEFAULT_CACHE_DIR,
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(
+            os.environ.get("PHOTOVERSE_COMPILE_CACHE", DEFAULT_CACHE_DIR)
+        )
 
     from photoverse_tpu.core.schedulers import make_solver
     from photoverse_tpu.engine.inference import run_inference

@@ -706,6 +706,17 @@ def main(argv=None):
         from photoverse_tpu.utils.platform import force_cpu
 
         force_cpu()
+    else:
+        import os
+
+        from photoverse_tpu.utils.platform import (
+            DEFAULT_CACHE_DIR,
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(
+            os.environ.get("PHOTOVERSE_COMPILE_CACHE", DEFAULT_CACHE_DIR)
+        )
     service = PhotoVerseService(args)
     if args.warmup:
         service.warmup()

@@ -160,6 +160,18 @@ def main(argv=None):
         from photoverse_tpu.utils.platform import force_cpu
 
         force_cpu()
+    else:
+        # SD-scale programs take 10-20 min through the TPU compile service;
+        # the persistent cache makes restart-after-preemption (--resume_from)
+        # pay that once per program shape (utils/platform.py)
+        from photoverse_tpu.utils.platform import (
+            DEFAULT_CACHE_DIR,
+            enable_compilation_cache,
+        )
+
+        enable_compilation_cache(
+            os.environ.get("PHOTOVERSE_COMPILE_CACHE", DEFAULT_CACHE_DIR)
+        )
     import jax.numpy as jnp
 
     from photoverse_tpu.ckpt.checkpoint import (

@@ -2,7 +2,29 @@
 
 from __future__ import annotations
 
-__all__ = ["force_cpu"]
+import os
+
+__all__ = ["force_cpu", "enable_compilation_cache"]
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/photoverse_tpu/jax")
+
+
+def enable_compilation_cache(path: str | None = DEFAULT_CACHE_DIR) -> None:
+    """Point JAX's persistent compilation cache at `path` (created lazily).
+
+    SD-scale programs take 10-20 min to compile through the TPU compile
+    service; the cache makes restart-after-preemption (train --resume_from)
+    and repeat CLI invocations pay that once per program shape. Entries are
+    content-addressed (HLO + compiler flags), so stale entries are misses,
+    never wrong programs. Pass a falsy path to disable.
+    """
+    if not path:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    # don't spend disk on trivial sub-second programs
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
 def force_cpu() -> bool:
