@@ -118,7 +118,9 @@ def parse_args(argv=None):
     p.add_argument("--flash_attention", action="store_true",
                    help="Pallas flash self-attention (exact; TPU fast path)")
     p.add_argument("--remat", action="store_true",
-                   help="Rematerialize UNet blocks (activation checkpointing)")
+                   help="Rematerialize UNet blocks and (with --face_loss) "
+                        "the VAE decoder (activation checkpointing); "
+                        "required at 512px on 16 GB chips")
     p.add_argument("--profile_steps", type=str, default=None,
                    help="'start,stop' step range to capture a jax.profiler "
                         "trace into {output_dir}/profile")
@@ -242,6 +244,13 @@ def main(argv=None):
             modules,
             unet=modules.unet.clone(
                 config=_dc.replace(modules.unet.config, remat=True)
+            ),
+            # the face loss backprops through vae.decode at full resolution;
+            # without decoder remat that backward alone holds ~10 GB of f32
+            # temps at 512px/batch-8 and OOMs a 16 GB chip (models/vae.py
+            # VAEConfig.remat)
+            vae=modules.vae.clone(
+                config=_dc.replace(modules.vae.config, remat=True)
             ),
         )
     latent_factor = 2 ** (len(modules.vae.config.block_out_channels) - 1)

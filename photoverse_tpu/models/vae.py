@@ -43,6 +43,13 @@ class VAEConfig:
     # additionally lift flax's forced-f32 stats reductions (see
     # UNetConfig.fast_norm_reductions)
     fast_norm_reductions: bool = False
+    # per-block rematerialization in the decoder. The face loss backprops
+    # through decode() at full resolution (reference train.py:531-532 via
+    # infer.py:121-122); without remat the decoder backward keeps every
+    # silu/conv input live — ~10 GB of f32 HLO temps at 512px, which OOMs
+    # a 16 GB v5e (measured: TRAIN_SOAK phase A, round 4). With remat each
+    # up-level recomputes its activations in the backward instead.
+    remat: bool = False
 
 
 def _gn(name: str, groups: int = 32, dtype: jnp.dtype = jnp.float32,
@@ -222,17 +229,21 @@ class Decoder(nn.Module):
         ch = list(reversed(cfg.block_out_channels))  # (512, 512, 256, 128)
         nd = dt if cfg.fast_norms else jnp.float32
         fr = cfg.fast_norms and cfg.fast_norm_reductions
+        # nn.remat keeps module names, so checkpoints are layout-identical
+        Res = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        Mid = nn.remat(MidBlock) if cfg.remat else MidBlock
+        Up = nn.remat(Upsample) if cfg.remat else Upsample
         x = _conv(ch[0], 3, "conv_in", dtype=dt)(z.astype(dt))
-        x = MidBlock(ch[0], cfg.norm_num_groups, dt,
+        x = Mid(ch[0], cfg.norm_num_groups, dt,
              use_flash=cfg.use_flash_attention, norm_dtype=nd,
              fast_reductions=fr, name="mid")(x)
         for i, c in enumerate(ch):
             for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock(
+                x = Res(
                     c, cfg.norm_num_groups, dt, nd, fr, name=f"up_{i}_res_{j}"
                 )(x)
             if i < len(ch) - 1:
-                x = Upsample(c, dt, name=f"up_{i}_upsample")(x)
+                x = Up(c, dt, name=f"up_{i}_upsample")(x)
         x = jax.nn.silu(
             _gn("conv_norm_out", cfg.norm_num_groups, dtype=nd,
                 fast_reductions=fr)(x)

@@ -57,6 +57,34 @@ def test_vae_decode_parity(pair):
     )
 
 
+def test_vae_decoder_remat_value_and_grad_parity(pair):
+    """VAEConfig.remat changes memory, not math: decode values AND the
+    gradient of a decode-based loss w.r.t. the latents (the face-loss
+    backward path, engine/training.py:_face_loss) must match the
+    non-remat decoder bit-for-bit-ish. Params are shared — nn.remat keeps
+    module names, so checkpoints are layout-identical."""
+    import dataclasses
+
+    _, vae, params = pair
+    vae_r = AutoencoderKL(config=dataclasses.replace(vae.config, remat=True))
+    rng = np.random.RandomState(3)
+    z = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+
+    def loss(v):
+        def f(zz):
+            px = v.apply({"params": params}, zz, method=AutoencoderKL.decode)
+            return jnp.sum(jnp.square(px)), px
+
+        (val, px), g = jax.value_and_grad(f, has_aux=True)(z)
+        return val, px, g
+
+    v0, px0, g0 = loss(vae)
+    v1, px1, g1 = loss(vae_r)
+    np.testing.assert_allclose(np.asarray(px1), np.asarray(px0), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-5, atol=1e-6)
+
+
 def test_vae_sample_uses_moments(pair):
     _, vae, params = pair
     rng = np.random.RandomState(2)
