@@ -185,6 +185,15 @@ def _unfold(x, B, H):
 @functools.partial(jax.jit, static_argnames=("q_tile", "k_tile"))
 def _flash_fwd_lse(q, k, v, q_tile: int = 512, k_tile: int = 4096):
     """Forward returning (out, lse); layouts as flash_sdpa."""
+    if q.shape[1] != k.shape[1]:
+        # the K/V BlockSpecs below are sized by q's sequence length; with
+        # Skv > Sq (e.g. differentiating the SP all-gathered decomposition)
+        # they would silently attend only the first Sq keys
+        raise ValueError(
+            "flash_sdpa_diff requires equal q/k sequence lengths "
+            f"(got Sq={q.shape[1]}, Skv={k.shape[1]}); the unequal-length "
+            "forward (flash_sdpa) is inference-only"
+        )
     B, S, H, d = q.shape
     BH = B * H
     tq = min(q_tile, S)
@@ -294,6 +303,11 @@ def _bwd_dkv_kernel(q_ref, g_ref, lse_ref, delta_ref, k_ref, v_ref,
 
 @functools.partial(jax.jit, static_argnames=("q_tile", "k_tile"))
 def _flash_bwd(q, k, v, out, lse, g, q_tile: int = 512, k_tile: int = 1024):
+    if q.shape[1] != k.shape[1]:
+        raise ValueError(
+            "flash backward requires equal q/k sequence lengths "
+            f"(got Sq={q.shape[1]}, Skv={k.shape[1]})"
+        )
     B, S, H, d = q.shape
     BH = B * H
     tq = min(q_tile, S)

@@ -69,3 +69,24 @@ def test_flash_gradients_match():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+def test_flash_diff_rejects_unequal_lengths_loudly():
+    """Regression (round-4 review): differentiating flash_sdpa_diff with
+    Skv > Sq used to size the K/V BlockSpecs by Sq and silently attend
+    only the first Sq keys — wrong gradients, not an error. The VJP
+    forward/backward must refuse unequal lengths (the unequal-length
+    primal stays inference-only; parallel/flash.py spatial mode)."""
+    import pytest
+
+    q, _, _ = _data(S=64, seed=4)
+    k2, v2, _ = _data(S=128, seed=5)
+
+    def loss(q, k, v):
+        return jnp.sum(jnp.square(flash_sdpa_diff(q, k, v)))
+
+    with pltpu.force_tpu_interpret_mode():
+        # forward-only (primal) still supports Skv > Sq
+        out = flash_sdpa(q, k2, v2, q_tile=64, k_tile=64)
+        assert out.shape == q.shape
+        with pytest.raises(ValueError, match="equal q/k sequence lengths"):
+            jax.grad(loss, argnums=0)(q, k2, v2)
