@@ -172,7 +172,7 @@ def bench_serving_latency(modules, params):
     kept, discarded = robust_trials(run_trial, 3, "serving_b1")
     return {
         "sec_per_image_b1_50step_g1": round(float(np.median(kept)), 4),
-        "discarded": discarded,
+        "serving_discarded": discarded,
     }
 
 
@@ -209,7 +209,7 @@ def bench_conditioning(modules, params):
     kept, discarded = robust_trials(run_trial, 3, "conditioning_b64")
     return {
         "identities_per_sec_b64": round(float(np.median(kept)), 1),
-        "discarded": discarded,
+        "conditioning_discarded": discarded,
     }
 
 
@@ -273,7 +273,7 @@ def bench_train_step():
     kept, discarded = robust_trials(run_trial, 3, "train_step")
     return {
         "train_imgs_per_sec_eff_batch16_lora128": round(float(np.median(kept)), 2),
-        "discarded": discarded,
+        "train_discarded": discarded,
     }
 
 

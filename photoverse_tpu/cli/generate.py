@@ -280,6 +280,26 @@ def main(argv=None):
         )
 
     n_dev = len(jax.devices())
+    if sharding_mode != "none" and n_dev == 1:
+        # sharding requested but only one device visible (chip contention,
+        # misconfigured host): fall back to the single-device pipeline —
+        # and re-enable the fast paths load_models disabled in anticipation
+        # of the shard_map wrapper, instead of silently running jnp attention
+        restored = ""
+        if model_sharded and args.fast and on_tpu:
+            import dataclasses as _dc
+
+            modules = _dc.replace(
+                modules,
+                unet=modules.unet.clone(config=_dc.replace(
+                    modules.unet.config,
+                    use_flash_attention=True,
+                    fused_blocks=True,
+                )),
+            )
+            restored = " with flash/fused fast paths re-enabled"
+        print(f"WARNING: --sharding {sharding_mode} requires >1 device "
+              f"(found 1); running single-device{restored}")
     if sharding_mode != "none" and n_dev > 1:
         # GSPMD multi-chip execution (tests/test_parallel.py,
         # tests/test_tp.py prove all three modes match single-device):

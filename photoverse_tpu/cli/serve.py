@@ -233,6 +233,27 @@ class PhotoVerseService:
         self.lat_sh = None
         self.param_sh = None
         n_dev = len(jax.devices())
+        if args.sharding != "none" and n_dev == 1:
+            # sharding requested but only one device visible: fall back to
+            # the single-device pipeline and re-enable the fast paths
+            # load_models disabled for the shard_map wrapper, instead of
+            # silently serving on the slow jnp attention route
+            restored = ""
+            if self._want_sharded_flash:
+                import dataclasses as _dc
+
+                self.modules = _dc.replace(
+                    self.modules,
+                    unet=self.modules.unet.clone(config=_dc.replace(
+                        self.modules.unet.config,
+                        use_flash_attention=True,
+                        fused_blocks=True,
+                    )),
+                )
+                self._want_sharded_flash = False
+                restored = " with flash/fused fast paths re-enabled"
+            print(f"WARNING: --sharding {args.sharding} requires >1 device "
+                  f"(found 1); serving single-device{restored}")
         if args.sharding != "none" and n_dev > 1:
             from photoverse_tpu.parallel.sp import (
                 latent_spatial_sharding, validate_sp,

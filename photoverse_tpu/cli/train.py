@@ -403,6 +403,20 @@ def main(argv=None):
     else:
         mesh = make_mesh(n_mesh)
         t_sh = f_sh = o_base = None
+    # sample-grid generation runs on gathered (replicated) params and small
+    # batches (num_of_samples_to_save can be < the data axis), so it must
+    # NOT inherit the shard_map flash wrapper's mesh-divisibility
+    # constraint — strip it back to the bare Pallas kernel for sampling
+    sample_modules = modules
+    if getattr(modules.unet.config, "flash_fn", None) is not None:
+        import dataclasses as _dc
+
+        sample_modules = _dc.replace(
+            modules,
+            unet=modules.unet.clone(
+                config=_dc.replace(modules.unet.config, flash_fn=None)
+            ),
+        )
     repl = replicated(mesh)
     as_tree = lambda sh, t: (
         sh if sh is not None else jax.tree.map(lambda _: repl, t)
@@ -611,10 +625,19 @@ def main(argv=None):
             # update (and clip) applies inside MultiSteps every accum-th
             # micro-batch (reference sync_gradients boundary)
             micro_step += 1
-            accum_time += time.perf_counter() - t_step
             if micro_step % accum:
+                # intermediate micro-steps stay async (no pipeline stall);
+                # only their dispatch cost lands here
+                accum_time += time.perf_counter() - t_step
                 continue
             global_step += 1
+            # block on the window's last metrics BEFORE stopping the clock:
+            # jstep dispatches asynchronously, so without this the timer
+            # records ~50 ms of dispatch while the device spends seconds —
+            # the device queue is in-order, so this waits for the whole
+            # accumulation window
+            metrics = jax.block_until_ready(metrics)
+            accum_time += time.perf_counter() - t_step
             step_s, accum_time = accum_time, 0.0
             if profiling_active and global_step >= profile_range[1]:
                 jax.block_until_ready(metrics)
@@ -665,7 +688,7 @@ def main(argv=None):
                     # legal on every process
                     sample_params = jax.tree.map(np.asarray, full)
                 _save_samples(
-                    args, modules, sample_params, tokenizer,
+                    args, sample_modules, sample_params, tokenizer,
                     eval_solver, batch, global_step, writer, run_inference,
                     prepare_prompt, denormalize, denormalize_clip, to_pil,
                     save_images_grid, jnp, jax, latent_size,

@@ -66,9 +66,11 @@ class UNetConfig:
     flash_min_seq: int = 1024
     # custom flash callable with the flash_sdpa_diff signature
     # (q, k, v, fast_scores) -> out. Installed by
-    # parallel.flash.enable_sharded_flash so TP/SP serving keeps the
-    # Pallas fast path via shard_map (None = the stock single-device
-    # kernel). Inference-only when set.
+    # parallel.flash.enable_sharded_flash so TP/SP keeps the Pallas fast
+    # path via shard_map (None = the stock single-device kernel).
+    # Tensor mode is differentiable (TP training uses it, cli/train.py);
+    # spatial mode is inference-only — differentiating it fails loudly at
+    # the kernel's equal-length check (parallel/flash.py).
     flash_fn: Optional[Callable] = None
     # store attention scores/probs in bf16 (halves self-attention HBM
     # traffic; ~6e-5 output deviation — inference fast path)

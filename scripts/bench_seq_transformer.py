@@ -23,10 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from photoverse_tpu.utils.platform import enable_compilation_cache
+
+enable_compilation_cache("/tmp/jax_cache")
 
 from photoverse_tpu.core.schedulers import DPMSolverMultistep
 from photoverse_tpu.engine.inference import run_inference
@@ -63,15 +64,16 @@ def bench(modules, params, label):
     note(f"{label}: compile+first {time.perf_counter() - t:.1f}s")
     for i in range(2):
         float(jnp.sum(jgen(params, jax.random.PRNGKey(2 + i))[0]))
-    samples = []
-    for i in range(TRIALS):
+    # bench.py's outlier protocol (retry-once then discard tunnel hiccups)
+    from bench import robust_trials
+
+    def run_trial(seed):
         t0 = time.perf_counter()
-        float(jnp.sum(jgen(params, jax.random.PRNGKey(10 + i))[0]))
-        samples.append(BATCH / (time.perf_counter() - t0))
-        note(f"{label} trial {i + 1}: {samples[-1]:.4f} imgs/s")
-    med = float(np.median(samples))
-    kept = [s for s in samples if abs(s - med) / med <= 0.2]
-    return float(np.median(kept)), samples, jgen(params, jax.random.PRNGKey(99))
+        float(jnp.sum(jgen(params, jax.random.PRNGKey(seed))[0]))
+        return BATCH / (time.perf_counter() - t0)
+
+    kept, _ = robust_trials(run_trial, TRIALS, label)
+    return float(np.median(kept)), kept, jgen(params, jax.random.PRNGKey(99))
 
 
 def main():

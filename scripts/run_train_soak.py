@@ -186,14 +186,13 @@ def main():
             "effective_batch": args.micro_batch * args.accum,
             "micro_batch": args.micro_batch,
             "grad_accum": args.accum,
-            "lora_rank": 128,
+            "lora_rank": args.lora_rank,
             "face_loss": "arcface (random weights; zero-egress env)",
-            "resolution": 512,
+            "resolution": args.resolution,
             "target_steps": args.steps,
             "kill_at_step": args.kill_at,
         }
     }
-    record["recipe"]["lora_rank"] = args.lora_rank
     _write.path = os.path.join(
         REPO, "TRAIN_SOAK_rehearsal.json" if args.tiny else "TRAIN_SOAK_r04.json"
     )
@@ -217,11 +216,21 @@ def main():
     # phase B: fresh process resumes from the preemption checkpoint
     t1 = time.time()
     env = dict(os.environ, JAX_DEFAULT_MATMUL_PRECISION="bfloat16")
-    rc_b = subprocess.call(
-        train_cmd(args, run_b, resume_from=ck), cwd=REPO, env=env,
-        stdout=open(run_b / "phaseB.log", "w"), stderr=subprocess.STDOUT,
-        timeout=args.phase_timeout,
-    )
+    try:
+        rc_b = subprocess.call(
+            train_cmd(args, run_b, resume_from=ck), cwd=REPO, env=env,
+            stdout=open(run_b / "phaseB.log", "w"), stderr=subprocess.STDOUT,
+            timeout=args.phase_timeout,
+        )
+    except subprocess.TimeoutExpired:
+        # record phase A's hours of results with ok:false instead of dying
+        # with an unwritten artifact (the hang is the failure class this
+        # harness exists to surface)
+        note("phase B timeout — recording ok=false")
+        record["phaseB"] = {"rc": "timeout", "wall_s": round(time.time() - t1, 1)}
+        record["ok"] = False
+        _write(record)
+        return 1
     rows_b = read_metrics(run_b / "metrics.jsonl")
     record["phaseB"] = {
         "rc": rc_b,
