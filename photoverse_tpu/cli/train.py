@@ -179,6 +179,7 @@ def main(argv=None):
     from photoverse_tpu.ckpt.checkpoint import (
         AsyncCheckpointer,
         combine_params,
+        partition_params,
         save_progress,
         save_progress_pt,
     )
@@ -536,8 +537,14 @@ def main(argv=None):
 
     def save_ckpt(params_, opt_state_, step_, force_native=False):
         # one host snapshot shared by all writers (AsyncCheckpointer.submit
-        # would otherwise copy the full tree once per format)
-        params_ = jax.tree.map(np.asarray, params_)
+        # would otherwise copy the full tree once per format) — and ONLY of
+        # the trainable partition: both savers write the trainable subset
+        # (save_progress partitions internally; save_progress_pt reads the
+        # adapters + attn2 keys), so fetching the ~3.4 GB frozen backbone
+        # over the device link at every checkpoint boundary is pure waste
+        # (measured 5-7 min/checkpoint through the TPU tunnel)
+        t_host, f_dev = partition_params(params_)
+        params_ = combine_params(jax.tree.map(np.asarray, t_host), f_dev)
         if args.checkpoint_format in ("native", "both") or force_native:
             kw = dict(step=step_, lora_config=lora_config, opt_state=opt_state_)
             if ckpt_async is not None:
@@ -564,6 +571,7 @@ def main(argv=None):
     rng = np.random.RandomState(seed)
     face_rng = np.random.RandomState(seed + 1)
     global_step = start_step
+    last_ckpt_step = -1
     micro_step = 0
     accum_time = 0.0
     profiling_active = False
@@ -698,6 +706,7 @@ def main(argv=None):
                 opt_save = gather_opt_for_save(opt_state)  # all processes
                 if jax.process_index() == 0:
                     save_ckpt(full, opt_save, global_step)
+                last_ckpt_step = global_step
             if global_step >= args.max_train_steps:
                 break
         if global_step >= args.max_train_steps:
@@ -705,6 +714,24 @@ def main(argv=None):
 
     if profiling_active:
         jax.profiler.stop_trace()
+    if last_ckpt_step == global_step and global_step > 0:
+        # the last boundary save already snapshotted this exact state —
+        # promote those files to the unstepped names instead of paying the
+        # device fetch + serialization again (every process skips the
+        # gather collectives together, so multi-host stays in lockstep)
+        if jax.process_index() == 0:
+            if ckpt_async is not None:
+                ckpt_async.wait()  # the stepped files must be fully on disk
+            _promote_final_ckpt(args, global_step)
+            if ckpt_async is not None:
+                ckpt_async.close()
+            if writer is not None:
+                writer.close()
+            if args.push_to_hub and hub_repo_name is not None:
+                from photoverse_tpu.utils.hub import push_to_hub
+
+                push_to_hub(args.output_dir, hub_repo_name, token=args.hub_token)
+        return
     full = gathered_params()  # all processes
     opt_save = gather_opt_for_save(opt_state)  # all processes
     if jax.process_index() == 0:
@@ -717,6 +744,30 @@ def main(argv=None):
             from photoverse_tpu.utils.hub import push_to_hub
 
             push_to_hub(args.output_dir, hub_repo_name, token=args.hub_token)
+
+
+def _promote_final_ckpt(args, step):
+    """Copy the just-written photoverse_{step:06}.* files to the unstepped
+    final names (photoverse.msgpack / photoverse.pt) — the training ended
+    exactly on a checkpoint boundary, so a second snapshot would fetch and
+    serialize identical state. Sidecar lands before the checkpoint file,
+    mirroring save_progress's write ordering."""
+    import shutil
+
+    def promote(src, dst):
+        if not os.path.exists(src):
+            return
+        tmp = dst + ".tmp"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
+
+    stem = os.path.join(args.output_dir, f"photoverse_{step:06d}")
+    final = os.path.join(args.output_dir, "photoverse")
+    if args.checkpoint_format in ("native", "both"):
+        promote(stem + ".msgpack.lora.json", final + ".msgpack.lora.json")
+        promote(stem + ".msgpack", final + ".msgpack")
+    if args.checkpoint_format in ("pt", "both"):
+        promote(stem + ".pt", final + ".pt")
 
 
 def _save_samples(
