@@ -237,6 +237,45 @@ def test_train_cli_end_to_end(tmp_path):
     assert (out_dir / "photoverse.msgpack").exists()
 
 
+def test_train_cli_final_ckpt_promoted_on_boundary(tmp_path):
+    """When training ends exactly on a checkpoint boundary, the final
+    photoverse.msgpack is PROMOTED from the stepped file by copy (no second
+    device fetch — cli/train.py _promote_final_ckpt); the copy must be
+    byte-identical and the .pt + sidecar must be promoted too."""
+    root = _make_checkpoint(tmp_path)
+    data_root = tmp_path / "ds"
+    (data_root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            data_root / "images" / f"{i}.jpg"
+        )
+
+    from photoverse_tpu.cli.train import main
+
+    out_dir = tmp_path / "run"
+    main([
+        "--pretrained_model_name_or_path", root,
+        "--data_root_path", str(data_root),
+        "--output_dir", str(out_dir),
+        "--resolution", "32",
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpoint_save_steps", "2",
+        "--samples_save_steps", "1000",
+        "--use_lora", "--lora_rank", "2",
+        "--image_encoder_layers_idx", "1", "2", "3", "4",
+        "--dataloader_num_workers", "1",
+        "--seed", "0",
+        "--checkpoint_format", "both",
+    ])
+    stepped = (out_dir / "photoverse_000002.msgpack").read_bytes()
+    final = (out_dir / "photoverse.msgpack").read_bytes()
+    assert stepped == final
+    assert (out_dir / "photoverse.pt").exists()
+    assert (out_dir / "photoverse.msgpack.lora.json").exists()
+
+
 def test_serve_cli_end_to_end(tmp_path):
     """Spin up the serving CLI on the tiny checkpoint and round-trip a
     /generate request (image in, PNGs out) plus /healthz."""
