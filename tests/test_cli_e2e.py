@@ -155,6 +155,51 @@ def test_generate_cli_end_to_end(tmp_path):
         assert img.shape == (32, 32, 3)
 
 
+def test_generate_cli_bf16_params(tmp_path):
+    """--bf16_params (bf16-stored serving weights, the measured +7.6%
+    batch-1 knob) must run end-to-end and stay close to the f32-stored
+    route: floating leaves cast, integer leaves untouched, pixels within
+    the rounding envelope."""
+    import jax.numpy as jnp
+
+    from photoverse_tpu.models.assembly import cast_params
+
+    tree = {"w": jnp.ones((2, 2), jnp.float32),
+            "ids": jnp.arange(3, dtype=jnp.int32),
+            "nested": {"b": jnp.zeros((4,), jnp.float64)}}
+    cast = cast_params(tree)
+    assert cast["w"].dtype == jnp.bfloat16
+    assert cast["ids"].dtype == jnp.int32
+    assert cast["nested"]["b"].dtype == jnp.bfloat16
+
+    root = _make_checkpoint(tmp_path)
+    face = tmp_path / "face.jpg"
+    rng = np.random.RandomState(0)
+    Image.fromarray((rng.rand(64, 64, 3) * 255).astype(np.uint8)).save(face)
+
+    from photoverse_tpu.cli.generate import main
+
+    common = [
+        "--model_path", root,
+        "--checkpoint_path", "",
+        "--input_image_path", str(face),
+        "--output_image_path", "gen",
+        "--num_timesteps", "3",
+        "--resolution", "32",
+        "--encoder_layers_idx", "1", "2", "3", "4",
+        "--seed", "11",
+    ]
+    out32 = tmp_path / "out_f32"
+    out16 = tmp_path / "out_bf16"
+    main(common + ["--results_dir", str(out32)])
+    main(common + ["--results_dir", str(out16), "--bf16_params"])
+    a = np.asarray(Image.open(out32 / "gen0.png"), dtype=np.float32)
+    b = np.asarray(Image.open(out16 / "gen0.png"), dtype=np.float32)
+    assert a.shape == b.shape == (32, 32, 3)
+    # bf16 weight rounding through a 3-step denoise: small mean drift only
+    assert np.mean(np.abs(a - b)) < 12.0, np.mean(np.abs(a - b))
+
+
 def test_load_models_checkpoint_weights_land(tmp_path):
     """Converted torch weights (not random init) must land in the param
     trees — verify one leaf per model family."""
