@@ -78,6 +78,39 @@ def combine_params(trainable: Dict, frozen: Dict) -> PhotoVerseParams:
     )
 
 
+def host_save_snapshot(params: PhotoVerseParams) -> PhotoVerseParams:
+    """Minimal host (numpy) copy of `params` sufficient for save_progress
+    AND save_progress_pt: the trainable partition plus the frozen attn2
+    base to_q/to_k/to_v kernels — the .pt exporter emits those too, because
+    the reference's cross_attention_adapter includes the (frozen) base
+    projection weights alongside the LoRA/ip params (modeling_utils.py:33-38).
+    Every other frozen leaf (the ~3.2 GB VAE/CLIP/UNet backbone) is dropped,
+    so neither the synchronous writers nor AsyncCheckpointer.submit's
+    blanket device->host snapshot ever fetch it — a measured 5-7 min per
+    checkpoint boundary through the TPU tunnel."""
+    trainable, frozen = partition_params(params)
+    keep = {k: np.asarray(v) for k, v in trainable.items()}
+    keep.update(
+        {
+            k: np.asarray(v)
+            for k, v in frozen.items()
+            if k[0] == "unet" and "attn2" in k
+        }
+    )
+    merged: Dict = {
+        name: {}
+        for name in (
+            "text_encoder", "vision_encoder", "unet", "vae",
+            "text_adapter", "image_adapter",
+        )
+    }
+    for key, leaf in keep.items():
+        merged[key[0]][key[1:]] = leaf
+    return PhotoVerseParams(
+        **{name: unflatten_dict(tree) if tree else {} for name, tree in merged.items()}
+    )
+
+
 # ---------------------------------------------------------------------------
 # native save/load (msgpack via flax.serialization)
 # ---------------------------------------------------------------------------
@@ -89,12 +122,16 @@ def save_progress(
     step: Optional[int] = None,
     lora_config: Optional[dict] = None,
     opt_state=None,
+    final: bool = False,
 ) -> str:
     """Write the trainable partition (+ optional optimizer state) to
     photoverse_{step:06}.msgpack, mirroring save_progress
     (modeling_utils.py:29-50). Unlike the reference (which saves the
     optimizer but never restores it, SURVEY.md 5.4), load_progress restores
-    optimizer state and the global step for true resume."""
+    optimizer state and the global step for true resume. `final=True` writes
+    the unstepped photoverse.msgpack name while still embedding `step`, so
+    resuming from a finished run's final checkpoint continues at its last
+    step — the same semantics a boundary-coincident promoted final has."""
     trainable, _ = partition_params(params)
     payload = {
         "trainable": {"/".join(k): np.asarray(v) for k, v in trainable.items()},
@@ -103,7 +140,11 @@ def save_progress(
         payload["step"] = step
     if opt_state is not None:
         payload["optimizer"] = serialization.to_state_dict(opt_state)
-    name = f"photoverse_{step:06d}.msgpack" if step is not None else "photoverse.msgpack"
+    name = (
+        "photoverse.msgpack"
+        if final or step is None
+        else f"photoverse_{step:06d}.msgpack"
+    )
     path = os.path.join(output_dir, name)
     os.makedirs(output_dir, exist_ok=True)
     # atomic writes: a preemption mid-write must never leave a truncated
@@ -190,12 +231,15 @@ def save_progress_pt(
     params: PhotoVerseParams,
     step: Optional[int] = None,
     lora_config: Optional[dict] = None,
+    final: bool = False,
 ) -> str:
     """Write a reference-format photoverse_{step:06}.pt checkpoint
     ({image_adapter, text_adapter, cross_attention_adapter, lora_config?},
     modeling_utils.py:29-50) loadable by the reference's
     load_photoverse_model AND by load_photoverse_checkpoint here —
-    round-trips torch users' weights back out of the TPU framework."""
+    round-trips torch users' weights back out of the TPU framework.
+    `final=True` forces the unstepped photoverse.pt name (the reference
+    format has no step field, so only the filename changes)."""
     import torch
 
     def to_torch(sd: Dict[str, np.ndarray]):
@@ -212,7 +256,9 @@ def save_progress_pt(
     }
     if lora_config is not None:
         payload["lora_config"] = lora_config
-    name = f"photoverse_{step:06d}.pt" if step is not None else "photoverse.pt"
+    name = (
+        "photoverse.pt" if final or step is None else f"photoverse_{step:06d}.pt"
+    )
     path = os.path.join(output_dir, name)
     os.makedirs(output_dir, exist_ok=True)
     tmp = path + ".tmp"

@@ -179,6 +179,7 @@ def main(argv=None):
     from photoverse_tpu.ckpt.checkpoint import (
         AsyncCheckpointer,
         combine_params,
+        host_save_snapshot,
         partition_params,
         save_progress,
         save_progress_pt,
@@ -535,28 +536,41 @@ def main(argv=None):
         (single-process sharded arrays gather locally in np.asarray)."""
         return _gather_params(combine_params(trainable, frozen))
 
-    def save_ckpt(params_, opt_state_, step_, force_native=False):
+    def save_ckpt(params_, opt_state_, step_, force_native=False, final=False):
         # one host snapshot shared by all writers (AsyncCheckpointer.submit
-        # would otherwise copy the full tree once per format) — and ONLY of
-        # the trainable partition: both savers write the trainable subset
-        # (save_progress partitions internally; save_progress_pt reads the
-        # adapters + attn2 keys), so fetching the ~3.4 GB frozen backbone
-        # over the device link at every checkpoint boundary is pure waste
-        # (measured 5-7 min/checkpoint through the TPU tunnel)
-        t_host, f_dev = partition_params(params_)
-        params_ = combine_params(jax.tree.map(np.asarray, t_host), f_dev)
+        # would otherwise copy the full tree once per format) — of the
+        # trainable partition plus the frozen attn2 base kernels the .pt
+        # exporter needs; host_save_snapshot drops the rest of the ~3.2 GB
+        # frozen backbone so NO writer path (sync or async) ever fetches it
+        # over the device link (measured 5-7 min/checkpoint via the tunnel)
+        params_ = host_save_snapshot(params_)
         if args.checkpoint_format in ("native", "both") or force_native:
-            kw = dict(step=step_, lora_config=lora_config, opt_state=opt_state_)
+            kw = dict(step=step_, lora_config=lora_config, opt_state=opt_state_,
+                      final=final)
             if ckpt_async is not None:
                 ckpt_async.submit(save_progress, args.output_dir, params_, **kw)
             else:
                 save_progress(args.output_dir, params_, **kw)
         if args.checkpoint_format in ("pt", "both"):
-            kw = dict(step=step_, lora_config=lora_config)
+            kw = dict(step=step_, lora_config=lora_config, final=final)
             if ckpt_async is not None:
                 ckpt_async.submit(save_progress_pt, args.output_dir, params_, **kw)
             else:
                 save_progress_pt(args.output_dir, params_, **kw)
+
+    def finalize_io(push=False):
+        """Shared shutdown epilogue (process 0 only): drain/close the async
+        checkpoint writer, flush the metrics writer, optionally push to hub.
+        One home for this sequence — the SIGTERM, boundary-promote, and
+        normal-end paths all exit through it."""
+        if ckpt_async is not None:
+            ckpt_async.close()
+        if writer is not None:
+            writer.close()
+        if push and args.push_to_hub and hub_repo_name is not None:
+            from photoverse_tpu.utils.hub import push_to_hub
+
+            push_to_hub(args.output_dir, hub_repo_name, token=args.hub_token)
 
     # preemption/SIGTERM-safe: checkpoint and exit cleanly at the next step
     # boundary (the recovery story for elastic TPU capacity, SURVEY.md 5.3)
@@ -671,12 +685,10 @@ def main(argv=None):
                 if jax.process_index() == 0:
                     print(f"termination requested — checkpointing at step {global_step}")
                     save_ckpt(full, opt_save, global_step, force_native=True)
-                    if ckpt_async is not None:
-                        ckpt_async.close()
-                    if writer is not None:
-                        # flush buffered TB events / finish the wandb run —
-                        # this IS the preemption path, don't lose the tail
-                        writer.close()
+                    # flush buffered TB events / finish the wandb run — this
+                    # IS the preemption path, don't lose the tail (no hub
+                    # push mid-run)
+                    finalize_io(push=False)
                 return
 
             is_sample_step = global_step % args.samples_save_steps == 0 and (
@@ -723,27 +735,16 @@ def main(argv=None):
             if ckpt_async is not None:
                 ckpt_async.wait()  # the stepped files must be fully on disk
             _promote_final_ckpt(args, global_step)
-            if ckpt_async is not None:
-                ckpt_async.close()
-            if writer is not None:
-                writer.close()
-            if args.push_to_hub and hub_repo_name is not None:
-                from photoverse_tpu.utils.hub import push_to_hub
-
-                push_to_hub(args.output_dir, hub_repo_name, token=args.hub_token)
-        return
-    full = gathered_params()  # all processes
-    opt_save = gather_opt_for_save(opt_state)  # all processes
+    else:
+        full = gathered_params()  # all processes
+        opt_save = gather_opt_for_save(opt_state)  # all processes
+        if jax.process_index() == 0:
+            # final=True: unstepped filenames, but the step IS embedded — a
+            # later --resume_from photoverse.msgpack continues at this step
+            # whether or not the run happened to end on a save boundary
+            save_ckpt(full, opt_save, global_step, final=True)
     if jax.process_index() == 0:
-        save_ckpt(full, opt_save, None)
-        if ckpt_async is not None:
-            ckpt_async.close()
-        if writer is not None:
-            writer.close()
-        if args.push_to_hub and hub_repo_name is not None:
-            from photoverse_tpu.utils.hub import push_to_hub
-
-            push_to_hub(args.output_dir, hub_repo_name, token=args.hub_token)
+        finalize_io(push=True)
 
 
 def _promote_final_ckpt(args, step):

@@ -27,20 +27,13 @@ enable_compilation_cache("/tmp/jax_cache")
 
 from photoverse_tpu.core.schedulers import DPMSolverMultistep
 from photoverse_tpu.engine.inference import run_inference
-from photoverse_tpu.models.assembly import build_models, init_params
+from photoverse_tpu.models.assembly import build_models, cast_params, init_params
 
 STEPS, TRIALS = 50, 5
 
 
 def note(msg):
     print(f"# {msg}", flush=True)
-
-
-def cast_floating(tree, dtype):
-    return jax.tree.map(
-        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
-        tree,
-    )
 
 
 def bench(modules, params, label):
@@ -83,7 +76,8 @@ def main():
     params = init_params(modules, jax.random.PRNGKey(0))
     note("params initialized (f32)")
     m32, s32, img32 = bench(modules, params, "params=f32")
-    p16 = cast_floating(params, jnp.bfloat16)
+    # the SAME transformation generate/serve --bf16_params applies
+    p16 = cast_params(params, jnp.bfloat16)
     m16, s16, img16 = bench(modules, p16, "params=bf16")
     dev = float(jnp.max(jnp.abs(img16[0].astype(jnp.float32)
                                 - img32[0].astype(jnp.float32))))

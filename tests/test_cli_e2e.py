@@ -164,9 +164,11 @@ def test_generate_cli_bf16_params(tmp_path):
 
     from photoverse_tpu.models.assembly import cast_params
 
+    # float16, not float64: conftest pins JAX_ENABLE_X64=0, under which a
+    # f64 leaf would silently be created as f32 and re-test the f32 path
     tree = {"w": jnp.ones((2, 2), jnp.float32),
             "ids": jnp.arange(3, dtype=jnp.int32),
-            "nested": {"b": jnp.zeros((4,), jnp.float64)}}
+            "nested": {"b": jnp.zeros((4,), jnp.float16)}}
     cast = cast_params(tree)
     assert cast["w"].dtype == jnp.bfloat16
     assert cast["ids"].dtype == jnp.int32
@@ -280,6 +282,14 @@ def test_train_cli_end_to_end(tmp_path):
     assert "loss_mle" in rec and np.isfinite(rec["loss_mle"])
     assert (out_dir / "photoverse_000002.msgpack").exists()
     assert (out_dir / "photoverse.msgpack").exists()
+    # the non-boundary final (step 3, saves every 2) embeds its step, so
+    # resume-from-final behaves the same as resume from a promoted final
+    from flax import serialization
+
+    payload = serialization.msgpack_restore(
+        (out_dir / "photoverse.msgpack").read_bytes()
+    )
+    assert payload["step"] == 3
 
 
 def test_train_cli_final_ckpt_promoted_on_boundary(tmp_path):

@@ -230,3 +230,66 @@ class TestSeqTransformer:
             np.testing.assert_allclose(
                 np.asarray(b), np.asarray(a), rtol=2e-4, atol=1e-5
             )
+
+
+class TestCheckpointSnapshotAndFinal:
+    """Round-4 review fixes: host_save_snapshot must be save-equivalent to
+    the full tree while dropping the frozen backbone, and final=True must
+    give boundary- and non-boundary-ending runs identical resume semantics."""
+
+    def test_host_save_snapshot_save_equivalent(self, tmp_path):
+        import torch
+
+        from photoverse_tpu.ckpt.checkpoint import (
+            host_save_snapshot,
+            save_progress,
+            save_progress_pt,
+        )
+        from tests.tiny_models import tiny_bundle
+
+        _, params = tiny_bundle(lora_rank=4, seed=11)
+        snap = host_save_snapshot(params)
+        # the heavy frozen components are dropped entirely...
+        assert snap.vae == {} and snap.text_encoder == {} and snap.vision_encoder == {}
+        # ...and every retained leaf is already host numpy (no device fetch
+        # left for AsyncCheckpointer.submit's blanket snapshot)
+        import jax
+
+        for leaf in jax.tree.leaves(
+            (snap.unet, snap.text_adapter, snap.image_adapter)
+        ):
+            assert isinstance(leaf, __import__("numpy").ndarray)
+
+        lora_cfg = {"r": 4, "lora_alpha": 1, "lora_dropout": 0.1}
+        a = save_progress(str(tmp_path / "full"), params, step=7,
+                          lora_config=lora_cfg)
+        b = save_progress(str(tmp_path / "snap"), snap, step=7,
+                          lora_config=lora_cfg)
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+        pa = save_progress_pt(str(tmp_path / "full"), params, step=7,
+                              lora_config=lora_cfg)
+        pb = save_progress_pt(str(tmp_path / "snap"), snap, step=7,
+                              lora_config=lora_cfg)
+        sa = torch.load(pa, map_location="cpu", weights_only=False)
+        sb = torch.load(pb, map_location="cpu", weights_only=False)
+        for section in ("image_adapter", "text_adapter", "cross_attention_adapter"):
+            assert set(sa[section]) == set(sb[section]), section
+            for k in sa[section]:
+                assert torch.equal(sa[section][k], sb[section][k]), (section, k)
+
+    def test_final_embeds_step(self, tmp_path):
+        from flax import serialization
+
+        from photoverse_tpu.ckpt.checkpoint import save_progress, save_progress_pt
+        from tests.tiny_models import tiny_bundle
+
+        _, params = tiny_bundle(seed=3)
+        path = save_progress(str(tmp_path), params, step=13, final=True)
+        assert path.endswith("photoverse.msgpack")
+        payload = serialization.msgpack_restore(open(path, "rb").read())
+        # the embedded step makes --resume_from photoverse.msgpack continue
+        # at 13 — the same semantics a boundary-promoted final has
+        assert payload["step"] == 13
+        pt = save_progress_pt(str(tmp_path), params, step=13, final=True)
+        assert pt.endswith("photoverse.pt")
