@@ -26,9 +26,20 @@ and recorded in "discarded" so the spread stat reflects the chip.
 The JSON additionally carries the other BASELINE.md configs under
 "extras": training-step throughput (config 4), the batch-64 conditioning
 stage (config 3), and batch-1 serving latency (config 1's latency view).
-Extras are best-effort: a failure there never hides the primary metric.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Output contract (round 5 — BENCH_r04.json was rc:124/parsed:null because
+the extras' multi-minute compiles ran BEFORE the one JSON print and the
+driver timeout swallowed it):
+  1. The primary JSON line prints IMMEDIATELY after the pipeline trials,
+     before any extra touches the compiler. Whatever happens afterwards
+     (timeout, OOM, crash), the artifact exists.
+  2. Extras run under an explicit wall-clock budget
+     (BENCH_WALL_BUDGET_S, default 1500s measured from process start);
+     an extra whose estimated cost exceeds the remaining budget is
+     skipped with a recorded reason instead of risking the run.
+  3. One final ENRICHED line (primary fields + extras) re-prints at the
+     end. Both lines are complete, parseable artifacts — whichever line
+     the driver takes (first JSON or last line), the metric is there.
 """
 
 import json
@@ -42,11 +53,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# share the CLIs' persistent compile cache (utils/platform.py) so a fresh
+# driver process warm-starts from prior train/generate/bench compiles —
+# /tmp/jax_cache did NOT survive into the round-4 driver run (146.9 s
+# compile there vs 94.4 s in round 3)
+from photoverse_tpu.utils.platform import DEFAULT_CACHE_DIR, enable_compilation_cache
+
+enable_compilation_cache(os.environ.get("PHOTOVERSE_COMPILE_CACHE", DEFAULT_CACHE_DIR))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_TORCH_REFERENCE_IMGS_PER_SEC = 0.4  # BASELINE.md analytic derivation
 A100_OPTIMIZED_DIFFUSERS_IMGS_PER_SEC = 1.0  # conservative comparison
+
+# MFU accounting (VERDICT r4 #7): useful FLOPs per generated image at the
+# primary config — 50 single-eval DPM-Solver++ steps x ~0.68 TFLOP/UNet eval
+# (BASELINE.md "FLOPs per image", consistent with published ~0.7/eval)
+# + VAE decode ~2.5 TFLOP = ~36.5 TFLOP/image. Peak: v5e bf16 197 TFLOP/s
+# (public spec); the chip's MEASURED matmul ceiling here is 153 TFLOP/s
+# (PERFORMANCE.md round 1), reported alongside as mfu_vs_measured_peak.
+TFLOP_PER_IMAGE = 36.5
+V5E_BF16_PEAK_TFLOPS = 197.0
+MEASURED_MATMUL_PEAK_TFLOPS = 153.0
+
+# wall-clock budget for the whole process (primary + extras). The driver's
+# timeout is not knowable from here; the budget exists so extras stop
+# *voluntarily* while the enriched line can still print.
+WALL_BUDGET_S = float(os.environ.get("BENCH_WALL_BUDGET_S", "1500"))
+T_PROCESS_START = time.perf_counter()
 
 BATCH = 16  # conv MXU utilization needs batch >= 16 (PERFORMANCE.md)
 STEPS = 50
@@ -277,6 +310,10 @@ def bench_train_step():
     }
 
 
+def _remaining_budget():
+    return WALL_BUDGET_S - (time.perf_counter() - T_PROCESS_START)
+
+
 def main():
     from photoverse_tpu.models.assembly import build_models, init_params
 
@@ -290,14 +327,46 @@ def main():
     trials, discarded = bench_pipeline(modules, params)
     med = float(np.median(trials))
     spread = (max(trials) - min(trials)) / med if med else 0.0
+    achieved_tflops = med * TFLOP_PER_IMAGE
 
-    # Best-effort extras: the remaining BASELINE.md configs. Never let a
-    # failure here hide the primary metric (the driver parses one line).
+    record = {
+        "metric": "512px imgs/sec/chip (50-step DPM-Solver++, PhotoVerse pipeline)",
+        "value": round(med, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(med / A100_TORCH_REFERENCE_IMGS_PER_SEC, 4),
+        "vs_optimized_diffusers": round(
+            med / A100_OPTIMIZED_DIFFUSERS_IMGS_PER_SEC, 4
+        ),
+        "median": round(med, 4),
+        "trials": [round(t, 4) for t in trials],
+        "discarded": discarded,
+        "spread": round(spread, 4),
+        "achieved_tflops": round(achieved_tflops, 1),
+        "mfu": round(achieved_tflops / V5E_BF16_PEAK_TFLOPS, 4),
+        "mfu_vs_measured_peak": round(
+            achieved_tflops / MEASURED_MATMUL_PEAK_TFLOPS, 4
+        ),
+        "extras": {},
+    }
+    # the INDESTRUCTIBLE print: the primary metric is on stdout before any
+    # extra touches the compiler — a driver timeout during the extras can
+    # no longer produce an artifact with parsed:null (BENCH_r04.json)
+    print(json.dumps(record), flush=True)
+
+    # Best-effort extras: the remaining BASELINE.md configs, each gated on
+    # the remaining wall budget (estimates are warm-cache compile + trials;
+    # a cold train-step compile alone can run ~25 min, so it goes last and
+    # is the first to be skipped).
     extras = {}
-    for name, fn in (
-        ("serving", lambda: bench_serving_latency(modules, params)),
-        ("conditioning", lambda: bench_conditioning(modules, params)),
+    for name, fn, est_s in (
+        ("serving", lambda: bench_serving_latency(modules, params), 120),
+        ("conditioning", lambda: bench_conditioning(modules, params), 90),
     ):
+        left = _remaining_budget()
+        if left < est_s:
+            note(f"extras[{name}] skipped: {left:.0f}s budget left < ~{est_s}s")
+            extras[f"{name}_skipped"] = f"wall budget ({left:.0f}s left, ~{est_s}s est)"
+            continue
         try:
             extras.update(fn())
         except Exception as e:  # noqa: BLE001 — diagnostics only
@@ -310,30 +379,22 @@ def main():
         if hasattr(leaf, "delete"):
             leaf.delete()
     del params, modules
-    try:
-        extras.update(bench_train_step())
-    except Exception as e:  # noqa: BLE001 — diagnostics only
-        note(f"extras[train] failed: {type(e).__name__}: {e}")
-        extras["train_error"] = f"{type(e).__name__}: {e}"
+    left = _remaining_budget()
+    if left < 420:
+        note(f"extras[train] skipped: {left:.0f}s budget left < ~420s")
+        extras["train_skipped"] = f"wall budget ({left:.0f}s left, ~420s est)"
+    else:
+        try:
+            extras.update(bench_train_step())
+        except Exception as e:  # noqa: BLE001 — diagnostics only
+            note(f"extras[train] failed: {type(e).__name__}: {e}")
+            extras["train_error"] = f"{type(e).__name__}: {e}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "512px imgs/sec/chip (50-step DPM-Solver++, PhotoVerse pipeline)",
-                "value": round(med, 4),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(med / A100_TORCH_REFERENCE_IMGS_PER_SEC, 4),
-                "vs_optimized_diffusers": round(
-                    med / A100_OPTIMIZED_DIFFUSERS_IMGS_PER_SEC, 4
-                ),
-                "median": round(med, 4),
-                "trials": [round(t, 4) for t in trials],
-                "discarded": discarded,
-                "spread": round(spread, 4),
-                "extras": extras,
-            }
-        )
-    )
+    # final ENRICHED line: same primary fields + the extras. If the driver
+    # takes the last line it gets everything; if the process dies before
+    # reaching here, the first print above already carries the metric.
+    record["extras"] = extras
+    print(json.dumps(record), flush=True)
 
 
 if __name__ == "__main__":

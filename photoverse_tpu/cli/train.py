@@ -17,9 +17,45 @@ import os
 
 import numpy as np
 
+# --recipe presets: the measured-best knob bundles, applied as argparse
+# DEFAULTS (explicit flags on the command line still win). `canonical` is
+# the reference's one-liner ops recipe (prepare_dataset_and_train.sh:1 —
+# 40k steps, batch 16, LoRA 128, arcface, lr 1e-5) plus every knob this
+# repo's A/Bs adopted for it: bf16 compute (+8.4%), flash attention + remat
+# (required at 512px/16GB), auto grad accumulation (OOM-free effective
+# batch 16), async checkpointing, and the fused face-accumulation schedule
+# (PERFORMANCE.md round-5 A/B). Pass --face_model_weights (or
+# --allow_random_face_model for smoke tests) alongside.
+RECIPE_PRESETS = {
+    "canonical": dict(
+        mixed_precision="bf16",
+        flash_attention=True,
+        remat=True,
+        use_lora=True,
+        lora_rank=128,
+        lora_alpha=1.0,
+        lora_dropout=0.1,
+        learning_rate=1e-5,
+        lr_scheduler="constant",
+        lr_warmup_steps=500,
+        train_batch_size=16,
+        max_train_steps=40000,
+        auto_grad_accum=True,
+        face_loss="arcface",
+        fuse_face_accum=True,
+        async_checkpointing=True,
+        use_random_prompts=True,
+    ),
+}
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="PhotoVerse TPU training")
+    p.add_argument("--recipe", type=str, default=None,
+                   choices=sorted(RECIPE_PRESETS),
+                   help="Apply a measured-best preset as flag DEFAULTS "
+                        "(explicit flags still override). 'canonical' = the "
+                        "reference 40k recipe with every adopted TPU knob")
     p.add_argument("--pretrained_model_name_or_path", type=str,
                    default="runwayml/stable-diffusion-v1-5",
                    help="Local diffusers-layout SD checkpoint directory")
@@ -78,6 +114,14 @@ def parse_args(argv=None):
                         "weights anyway (testing only; the identity loss is "
                         "meaningless without pretrained weights)")
     p.add_argument("--face_loss_sample_ratio", type=float, default=0.25)
+    p.add_argument("--fuse_face_accum", action="store_true",
+                   help="With gradient accumulation, run the face-loss "
+                        "inner generation only on the LAST micro-step of "
+                        "each window, on an accum-x wider face sub-batch "
+                        "with accum-x weight — the same expected gradient "
+                        "(MultiSteps averages the window) at half the "
+                        "weight-read-bound inner UNet dispatches "
+                        "(engine/training.py face_weight_scale)")
     p.add_argument("--use_lora", action="store_true")
     p.add_argument("--lora_alpha", type=float, default=1)
     p.add_argument("--lora_dropout", type=float, default=0.1)
@@ -125,6 +169,11 @@ def parse_args(argv=None):
                    help="'start,stop' step range to capture a jax.profiler "
                         "trace into {output_dir}/profile")
     args = p.parse_args(argv)
+    if args.recipe:
+        # re-parse with the preset as defaults: flags the user typed are in
+        # argv and still win; everything else takes the preset value
+        p.set_defaults(**RECIPE_PRESETS[args.recipe])
+        args = p.parse_args(argv)
     env_local_rank = int(os.environ.get("LOCAL_RANK", -1))
     if env_local_rank != -1 and env_local_rank != args.local_rank:
         args.local_rank = env_local_rank
@@ -459,20 +508,38 @@ def main(argv=None):
     )
     params_are_sharded = use_fsdp or tp > 1
 
+    # fused face accumulation: the face branch runs only on each window's
+    # final micro-step, accum-x wider and accum-x weighted — same expected
+    # gradient through the MultiSteps average, ~half the inner-generation
+    # UNet dispatches (engine/training.py make_train_step docstring)
+    fuse_face = bool(args.fuse_face_accum and args.face_loss and accum > 1)
+    _text_sh = batch_sharding(mesh) if n_mesh * tp > 1 else None
     step_fn = make_train_step(
         modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=face_solver,
         latent_size=latent_size,
         # pin CLIP text activations batch-over-data on multi-device meshes
         # (stops involuntary-remat reshards in the text backward under
         # dp x model; engine/training.py docstring)
-        text_act_sharding=batch_sharding(mesh) if n_mesh * tp > 1 else None,
+        text_act_sharding=_text_sh,
+        face_weight_scale=float(accum) if fuse_face else 1.0,
     )
-    jstep = jax.jit(
-        step_fn,
+    _jit_kw = dict(
         in_shardings=(t_sh, f_sh, opt_sharding, batch_sharding(mesh), repl),
         out_shardings=(t_sh, opt_sharding, repl),
         donate_argnums=(0, 2),
     )
+    jstep = jax.jit(step_fn, **_jit_kw)
+    jstep_noface = None
+    if fuse_face:
+        # the window's non-final micro-steps run the plain diffusion step
+        # (a second compiled program; both share trainable/opt donation)
+        jstep_noface = jax.jit(
+            make_train_step(
+                modules, cfg, tx, latent_size=latent_size,
+                text_act_sharding=_text_sh,
+            ),
+            **_jit_kw,
+        )
 
     writer = None
     hub_repo_name = None
@@ -604,13 +671,17 @@ def main(argv=None):
             host_batch["concept_placeholder_idx"] = host_batch[
                 "concept_placeholder_idx"
             ].reshape(-1)
-            if args.face_loss:
+            window_final = (micro_step + 1) % accum == 0
+            if args.face_loss and (not fuse_face or window_final):
                 # the face sub-batch is sliced per host from this host's rows;
                 # round n_face up to a multiple of the local device count so
                 # the assembled global face batch shards evenly over the mesh
                 n_face = max(int(args.face_loss_sample_ratio * host_bs), 1)
                 dev_per_host = max(n_mesh // jax.process_count(), 1)
                 n_face = -(-n_face // dev_per_host) * dev_per_host
+                if fuse_face:
+                    # the whole window's face samples in one sub-batch
+                    n_face = min(n_face * accum, host_bs)
                 ex = prepare_prompt(
                     tokenizer, "a photo of {}", "*",
                     num_of_samples=host_bs,
@@ -640,7 +711,8 @@ def main(argv=None):
                 jax.profiler.start_trace(os.path.join(args.output_dir, "profile"))
                 profiling_active = True
             t_step = time.perf_counter()
-            trainable, opt_state, metrics = jstep(
+            _step = jstep_noface if (fuse_face and not window_final) else jstep
+            trainable, opt_state, metrics = _step(
                 trainable, frozen, opt_state, dev_batch, step_key
             )
             # global_step counts OPTIMIZER steps: with accumulation the

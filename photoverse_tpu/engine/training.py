@@ -144,8 +144,21 @@ def make_train_step(
     face_solver: Optional[DPMSolverMultistep] = None,
     latent_size: int = 64,
     text_act_sharding=None,
+    face_weight_scale: float = 1.0,
 ):
     """Build the jittable train step.
+
+    `face_weight_scale` multiplies the face-loss weight; it exists for the
+    fused-face-accumulation schedule (cli/train.py --fuse_face_accum): with
+    gradient accumulation the face branch runs only on the LAST micro-step
+    of each window, on a sub-batch `accum`x wider, with weight scaled by
+    `accum`. optax.MultiSteps averages the window's gradients, so
+    (0 + ... + accum*w*g_face(accum*n rows)) / accum == w*g_face — the same
+    expected (and, with i.i.d. rows, same-variance) gradient as the
+    reference's per-micro-batch face loss (train.py:521-535), at half the
+    inner-generation UNet dispatches (the evals are weight-read-bound at
+    these tiny batches, so doubling their width is nearly free —
+    PERFORMANCE.md round-5 A/B).
 
     `text_act_sharding` (optional NamedSharding, normally
     parallel.mesh.batch_sharding(mesh)) pins the CLIP text encoder's
@@ -226,7 +239,7 @@ def make_train_step(
             diffusion_loss
             + cfg.concept_reg_weight * concept_reg
             + cfg.visual_reg_weight * visual_reg
-            + cfg.face_loss_weight * floss
+            + cfg.face_loss_weight * face_weight_scale * floss
         )
         metrics = {
             "loss": total,

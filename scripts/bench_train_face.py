@@ -12,11 +12,18 @@ trailing step + a 512px VAE decode backward) dominates the canonical step
 scripts/bench_train.py), so compute dtype is the single biggest untested
 knob on the recipe users actually run.
 
-This script measures ONE arm per invocation (dtype is a process-level arm so
-the two arms never share a live HBM footprint or compilation cache state):
+This script measures ONE arm per invocation (each arm is a process so the
+arms never share a live HBM footprint or compilation cache state):
 
-  python scripts/bench_train_face.py f32   # soak configuration
-  python scripts/bench_train_face.py bf16  # proposed mixed-precision recipe
+  python scripts/bench_train_face.py f32   # round-4 soak configuration
+  python scripts/bench_train_face.py bf16  # mixed-precision recipe (r4 adopted)
+  python scripts/bench_train_face.py fused # bf16 + fused face accumulation:
+        # face branch only on each window's final micro-step, accum-x wider
+        # sub-batch, accum-x weight (cli/train.py --fuse_face_accum) — same
+        # expected gradient, half the inner-generation dispatches
+  python scripts/bench_train_face.py wide  # bf16 + accum-x wider face
+        # sub-batch on EVERY micro-step (isolates the marginal cost of
+        # inner-loop width from the fusion's dispatch halving)
 
 Step shape (exactly the soak's): micro-batch 8 x grad-accum 2 (effective 16),
 512px, LoRA rank 128 dropout 0.1, flash attention, UNet-block + VAE-decoder
@@ -62,8 +69,10 @@ FACE = max(int(0.25 * MICRO), 1)  # cli/train.py --face_loss_sample_ratio 0.25
 
 
 def main():
-    assert ARM in ("f32", "bf16"), ARM
-    dtype = jnp.bfloat16 if ARM == "bf16" else jnp.float32
+    assert ARM in ("f32", "bf16", "fused", "wide"), ARM
+    dtype = jnp.float32 if ARM == "f32" else jnp.bfloat16
+    fused = ARM == "fused"
+    face_rows = FACE * ACCUM if ARM in ("fused", "wide") else FACE
     modules = build_models(
         dtype=dtype,
         unet_config=UNetConfig(
@@ -87,10 +96,16 @@ def main():
     trainable, frozen, opt_state = init_train_state(modules, params, tx)
     step = jax.jit(
         make_train_step(
-            modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=face_solver
+            modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=face_solver,
+            face_weight_scale=float(ACCUM) if fused else 1.0,
         ),
         donate_argnums=(0, 2),
     )
+    step_noface = None
+    if fused:
+        step_noface = jax.jit(
+            make_train_step(modules, cfg, tx), donate_argnums=(0, 2)
+        )
 
     rng = np.random.RandomState(0)
     batch = {
@@ -98,32 +113,43 @@ def main():
         "pixel_values_clip": jnp.asarray(rng.randn(MICRO, 224, 224, 3), jnp.float32),
         "text_input_ids": jnp.asarray(rng.randint(0, 49408, (MICRO, 77)), jnp.int32),
         "concept_placeholder_idx": jnp.full((MICRO,), 5, jnp.int32),
-        "face_pixel_values": jnp.asarray(rng.randn(FACE, 512, 512, 3), jnp.float32),
+        "face_pixel_values": jnp.asarray(
+            rng.randn(face_rows, 512, 512, 3), jnp.float32
+        ),
         "face_pixel_values_clip": jnp.asarray(
-            rng.randn(FACE, 224, 224, 3), jnp.float32
+            rng.randn(face_rows, 224, 224, 3), jnp.float32
         ),
         "face_text_input_ids": jnp.asarray(
-            rng.randint(0, 49408, (FACE, 77)), jnp.int32
+            rng.randint(0, 49408, (face_rows, 77)), jnp.int32
         ),
-        "face_concept_placeholder_idx": jnp.full((FACE,), 5, jnp.int32),
+        "face_concept_placeholder_idx": jnp.full((face_rows,), 5, jnp.int32),
         "face_uncond_input_ids": jnp.asarray(
-            rng.randint(0, 49408, (FACE, 77)), jnp.int32
+            rng.randint(0, 49408, (face_rows, 77)), jnp.int32
         ),
     }
+    batch_noface = {
+        k: v for k, v in batch.items() if not k.startswith("face_")
+    }
+
+    def micro(trainable, opt_state, i, seed):
+        """One micro-step: with the fused schedule, only the window's last
+        micro-step (i == ACCUM-1) runs the face branch."""
+        fn, b = (
+            (step_noface, batch_noface)
+            if fused and i % ACCUM != ACCUM - 1
+            else (step, batch)
+        )
+        return fn(trainable, frozen, opt_state, b, jax.random.PRNGKey(seed))
 
     t0 = time.perf_counter()
-    trainable, opt_state, metrics = step(
-        trainable, frozen, opt_state, batch, jax.random.PRNGKey(1)
-    )
+    trainable, opt_state, metrics = micro(trainable, opt_state, 0, 1)
     jax.block_until_ready(metrics)
     compile_s = time.perf_counter() - t0
     print(f"# [{ARM}] compile+first micro-step {compile_s:.1f}s "
           f"loss={float(metrics['loss']):.4f}", flush=True)
     # finish the first optimizer step so windows start on a boundary
-    for i in range(ACCUM - 1):
-        trainable, opt_state, metrics = step(
-            trainable, frozen, opt_state, batch, jax.random.PRNGKey(100 + i)
-        )
+    for i in range(1, ACCUM):
+        trainable, opt_state, metrics = micro(trainable, opt_state, i, 100 + i)
     jax.block_until_ready(metrics)
 
     window_rates = []
@@ -131,8 +157,8 @@ def main():
     for w in range(WINDOWS):
         t0 = time.perf_counter()
         for _ in range(STEPS_PER_WINDOW * ACCUM):
-            trainable, opt_state, metrics = step(
-                trainable, frozen, opt_state, batch, jax.random.PRNGKey(1000 + k)
+            trainable, opt_state, metrics = micro(
+                trainable, opt_state, k, 1000 + k
             )
             k += 1
         jax.block_until_ready(metrics)  # block only on the window boundary
@@ -146,7 +172,8 @@ def main():
         "arm": ARM,
         "micro_batch": MICRO,
         "grad_accum": ACCUM,
-        "face_batch": FACE,
+        "face_batch": face_rows,
+        "face_schedule": "window_final_only" if fused else "every_micro_step",
         "sec_per_optimizer_step": round(sec_per_step, 4),
         "imgs_per_sec": round(eff / sec_per_step, 3),
         "window_spread": round(

@@ -1,0 +1,214 @@
+"""Round-5 features: --recipe presets, fused face accumulation
+(face_weight_scale + --fuse_face_accum), bench.py output contract."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from tests.tiny_models import LATENT, tiny_batch, tiny_bundle
+
+
+# ---------------------------------------------------------------- presets
+def test_recipe_canonical_composition():
+    """--recipe canonical must expand to exactly the adopted knob bundle
+    (VERDICT r4 #4: one flag reproducing the measured-best configuration,
+    matching scripts/prepare_dataset_and_train.sh)."""
+    from photoverse_tpu.cli.train import parse_args
+
+    args = parse_args(["--recipe", "canonical", "--data_root_path", "x"])
+    assert args.mixed_precision == "bf16"
+    assert args.flash_attention and args.remat
+    assert args.use_lora and args.lora_rank == 128
+    assert args.lora_alpha == 1.0 and args.lora_dropout == 0.1
+    assert args.learning_rate == 1e-5
+    assert args.lr_scheduler == "constant" and args.lr_warmup_steps == 500
+    assert args.train_batch_size == 16 and args.max_train_steps == 40000
+    assert args.auto_grad_accum
+    assert args.face_loss == "arcface"
+    assert args.fuse_face_accum
+    assert args.async_checkpointing
+    assert args.use_random_prompts
+
+
+def test_recipe_explicit_flags_override_preset():
+    from photoverse_tpu.cli.train import parse_args
+
+    args = parse_args([
+        "--recipe", "canonical", "--data_root_path", "x",
+        "--lora_rank", "8", "--learning_rate", "2e-4",
+        "--max_train_steps", "100",
+    ])
+    assert args.lora_rank == 8
+    assert args.learning_rate == 2e-4
+    assert args.max_train_steps == 100
+    # untouched preset fields still apply
+    assert args.mixed_precision == "bf16" and args.fuse_face_accum
+
+
+def test_no_recipe_keeps_reference_defaults():
+    """Without --recipe the flag surface keeps the reference defaults
+    (train.py:37-285) — the preset must not leak into them."""
+    from photoverse_tpu.cli.train import parse_args
+
+    args = parse_args(["--data_root_path", "x"])
+    assert args.mixed_precision is None
+    assert not args.flash_attention and not args.remat
+    assert not args.use_lora and args.lora_rank == 8
+    assert args.learning_rate == 1e-4
+    assert args.face_loss is None and not args.fuse_face_accum
+
+
+# ------------------------------------------------- fused face accumulation
+def _face_setup(seed=7):
+    import jax.numpy as jnp
+
+    from photoverse_tpu.core.schedulers import DPMSolverMultistep
+    from photoverse_tpu.models.arcface import ArcFaceConfig, ArcFaceResNet18
+    from photoverse_tpu.models.face_loss import FaceLoss
+
+    modules, params = tiny_bundle(seed=seed)
+    amodel = ArcFaceResNet18(ArcFaceConfig(input_size=32))
+    aparams = amodel.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))[
+        "params"
+    ]
+    floss = FaceLoss("arcface", aparams)
+    floss.model = amodel
+
+    def face_loss_fn(_params, x, gen):
+        return floss(x, gen, maximize=True, normalize=False)
+
+    solver = DPMSolverMultistep.create(modules.schedule, 3)
+    return modules, params, face_loss_fn, solver
+
+
+def _face_batch(B=2, n_face=1, seed=8):
+    batch = tiny_batch(B=B, seed=seed)
+    batch["face_pixel_values"] = batch["pixel_values"][:n_face]
+    batch["face_pixel_values_clip"] = batch["pixel_values_clip"][:n_face]
+    batch["face_text_input_ids"] = batch["text_input_ids"][:n_face]
+    batch["face_concept_placeholder_idx"] = batch["concept_placeholder_idx"][
+        :n_face
+    ]
+    batch["face_uncond_input_ids"] = np.zeros((n_face, 12), np.int32)
+    return batch
+
+
+def test_face_weight_scale_scales_exactly_the_face_term():
+    """loss(scale=s) - loss(scale=1) == (s-1) * w_face * loss_face, and the
+    reported loss_face metric stays UNscaled (comparable across schedules)."""
+    from photoverse_tpu.engine.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    modules, params, face_loss_fn, solver = _face_setup()
+    cfg = TrainConfig(max_train_steps=5, lr_warmup_steps=0,
+                      face_loss_guidance=2.0)
+    tx, _ = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules, params, tx)
+    batch = _face_batch()
+    rng = jax.random.PRNGKey(0)
+
+    losses, faces = {}, {}
+    for scale in (1.0, 3.0):
+        step = jax.jit(make_train_step(
+            modules, cfg, tx, face_loss_fn=face_loss_fn, face_solver=solver,
+            latent_size=LATENT, face_weight_scale=scale,
+        ))
+        _, _, metrics = step(trainable, frozen, opt_state, batch, rng)
+        losses[scale] = float(metrics["loss"])
+        faces[scale] = float(metrics["loss_face"])
+    assert faces[1.0] == pytest.approx(faces[3.0], rel=1e-6)
+    assert faces[1.0] != 0.0
+    expected_delta = 2.0 * cfg.face_loss_weight * faces[1.0]
+    assert losses[3.0] - losses[1.0] == pytest.approx(expected_delta, rel=1e-4)
+
+
+def test_train_cli_fused_face_accum(tmp_path):
+    """e2e: --fuse_face_accum with accumulation runs the dual-program
+    schedule (noface micro-steps + a window-final wide face micro-step) and
+    logs a nonzero face loss."""
+    from PIL import Image
+
+    from tests.test_cli_e2e import _make_checkpoint
+
+    root = _make_checkpoint(tmp_path)
+    data_root = tmp_path / "ds"
+    (data_root / "images").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        Image.fromarray((rng.rand(48, 48, 3) * 255).astype(np.uint8)).save(
+            data_root / "images" / f"{i}.jpg"
+        )
+
+    from photoverse_tpu.cli.train import main
+
+    out_dir = tmp_path / "run"
+    main([
+        "--pretrained_model_name_or_path", root,
+        "--data_root_path", str(data_root),
+        "--output_dir", str(out_dir),
+        "--resolution", "32",
+        "--train_batch_size", "2",
+        "--gradient_accumulation_steps", "2",
+        "--max_train_steps", "2",
+        "--checkpoint_save_steps", "1000",
+        "--samples_save_steps", "1000",
+        "--face_loss", "arcface", "--allow_random_face_model",
+        "--face_loss_sample_ratio", "0.5",
+        "--fuse_face_accum",
+        "--denoise_timesteps", "2",
+        "--image_encoder_layers_idx", "1", "2", "3", "4",
+        "--dataloader_num_workers", "1",
+        "--seed", "0",
+    ])
+    rows = [
+        json.loads(l)
+        for l in (out_dir / "metrics.jsonl").read_text().strip().splitlines()
+    ]
+    steps = [r for r in rows if "loss_mle" in r]
+    assert len(steps) >= 2
+    for r in steps:
+        assert np.isfinite(r["loss_mle"])
+        # the logged window-final metrics carry the face branch
+        assert np.isfinite(r["loss_face"]) and r["loss_face"] != 0.0
+
+
+# ------------------------------------------------------- bench.py contract
+def test_bench_primary_line_precedes_extras():
+    """The indestructible-artifact contract (BENCH_r04 regression): the
+    primary json.dumps/print must appear in main() BEFORE any extra bench
+    call, and a final enriched print must follow them."""
+    import ast
+    import pathlib
+
+    src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+    tree = ast.parse(src)
+    main_fn = next(
+        n for n in tree.body if isinstance(n, ast.FunctionDef) and n.name == "main"
+    )
+    events = []
+    for node in ast.walk(main_fn):
+        if isinstance(node, ast.Call):
+            name = getattr(node.func, "id", getattr(node.func, "attr", ""))
+            if name == "print" and node.lineno:
+                events.append(("print", node.lineno))
+            elif name in (
+                "bench_serving_latency",
+                "bench_conditioning",
+                "bench_train_step",
+            ):
+                events.append(("extra", node.lineno))
+    events.sort(key=lambda e: e[1])
+    kinds = [k for k, _ in events]
+    assert "print" in kinds and "extra" in kinds
+    first_print = kinds.index("print")
+    first_extra = kinds.index("extra")
+    assert first_print < first_extra, (
+        "primary print must precede every extra bench call"
+    )
+    assert kinds[-1] == "print", "enriched final print must come last"
