@@ -39,6 +39,7 @@ stay async, the clock never stops on a dispatch). Prints one JSON line.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -46,7 +47,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# shared persistent compile cache (same dir as the CLIs and bench.py) so
+# arms warm-start across processes and rounds
+from photoverse_tpu.utils.platform import DEFAULT_CACHE_DIR, enable_compilation_cache
+
+enable_compilation_cache(os.environ.get("PHOTOVERSE_COMPILE_CACHE", DEFAULT_CACHE_DIR))
 
 from photoverse_tpu.core.schedulers import DPMSolverMultistep
 from photoverse_tpu.engine.training import (

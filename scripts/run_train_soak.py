@@ -1,22 +1,25 @@
 #!/usr/bin/env python
-"""Sustained on-chip training soak (VERDICT round-3 next #2).
+"""Sustained on-chip training soak (VERDICT round-3 #2; round-5 #3 runs it
+as the EXACT canonical arm).
 
 Drives the REAL train CLI at the canonical recipe shape
 (/root/reference/prepare_dataset_and_train.sh:1 — effective batch 16 =
-micro 8 x accum 2, LoRA rank 128, ArcFace face loss; random weights and
-synthetic data, so the run proves the TRAINING LOOP at SD scale, not
-model quality):
+micro 8 x accum 2, LoRA rank 128, ArcFace face loss, --mixed_precision
+bf16 + flash + remat; random weights and synthetic data, so the run
+proves the TRAINING LOOP at SD scale, not model quality):
 
-  phase A: 200-step target with eval sampling + checkpoint at step 100;
+  phase A: 500-step target with eval sampling + checkpoint every 100;
            a SIGTERM lands mid-soak (step >= KILL_AT) -> the CLI
            checkpoints at the next boundary and exits cleanly;
   phase B: a fresh process resumes via --resume_from (optimizer + step
            restored) and finishes the remaining steps.
 
-Emits TRAIN_SOAK_r04.json at the repo root:
+Emits TRAIN_SOAK_r05.json at the repo root:
   steps/s (steady-state median), loss trace (finite + first/last window
   means), resume continuity (killed step, resumed step, no gap/repeat),
-  sample-grid + checkpoint artifacts.
+  sample-grid + checkpoint artifacts, and an overhead accounting that
+  reconciles the soak's steady-state sec/step against the isolated
+  train-step bench (scripts/bench_train_face.py, --bench_ref).
 
 Run on the TPU host with no other JAX process holding the tunnel:
     python scripts/run_train_soak.py [--steps 200] [--out /tmp/soak]
@@ -39,7 +42,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-KILL_AT = 130  # SIGTERM once metrics.jsonl reaches this optimizer step
+KILL_AT = 300  # SIGTERM once metrics.jsonl reaches this optimizer step
 # (overridable with --kill_at for tiny-scale rehearsals)
 
 
@@ -95,6 +98,10 @@ def train_cmd(args, out_dir, resume_from=None):
         cmd += ["--cpu", "--image_encoder_layers_idx", "1", "2", "3", "4"]
     else:
         cmd += ["--flash_attention", "--remat"]
+    if args.mixed_precision != "no":
+        cmd += ["--mixed_precision", args.mixed_precision]
+    if args.fuse_face_accum:
+        cmd += ["--fuse_face_accum"]
     if resume_from:
         cmd += ["--resume_from", str(resume_from)]
     return cmd
@@ -154,12 +161,23 @@ def newest_checkpoint(out_dir):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/soak")
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--micro_batch", type=int, default=8)
     ap.add_argument("--accum", type=int, default=2)
     ap.add_argument("--kill_at", type=int, default=KILL_AT)
     ap.add_argument("--boundary", type=int, default=100,
                     help="checkpoint/sample step interval")
+    ap.add_argument("--mixed_precision", default="bf16",
+                    choices=["bf16", "no"],
+                    help="canonical recipe arm is bf16 (VERDICT r4 weak #2: "
+                         "the r04 soak ran the f32 default)")
+    ap.add_argument("--fuse_face_accum", action="store_true",
+                    help="run the fused face-accumulation schedule "
+                         "(include when the A/B adopted it for the recipe)")
+    ap.add_argument("--bench_ref", type=float, default=None,
+                    help="isolated sec/optimizer-step from "
+                         "scripts/bench_train_face.py for the same arm; "
+                         "records an overhead reconciliation when given")
     ap.add_argument("--lora_rank", type=int, default=128)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--phase_timeout", type=int, default=3600)
@@ -191,10 +209,12 @@ def main():
             "resolution": args.resolution,
             "target_steps": args.steps,
             "kill_at_step": args.kill_at,
+            "mixed_precision": args.mixed_precision,
+            "fuse_face_accum": bool(args.fuse_face_accum),
         }
     }
     _write.path = os.path.join(
-        REPO, "TRAIN_SOAK_rehearsal.json" if args.tiny else "TRAIN_SOAK_r04.json"
+        REPO, "TRAIN_SOAK_rehearsal.json" if args.tiny else "TRAIN_SOAK_r05.json"
     )
 
     t0 = time.time()
@@ -291,6 +311,17 @@ def main():
             "total_steps": len(all_rows),
         }
     )
+    if args.bench_ref and med_t:
+        # reconcile the soak's steady-state sec/step with the isolated
+        # train-step bench: the difference is the loop's real overhead
+        # (data loading, metrics, ckpt/eval boundaries) — VERDICT r4 #3
+        # asks for agreement within ~10%
+        record["overhead_accounting"] = {
+            "bench_sec_per_step": args.bench_ref,
+            "soak_sec_per_step": round(med_t, 4),
+            "overhead_pct": round(100.0 * (med_t / args.bench_ref - 1.0), 2),
+            "within_10pct": bool(med_t <= args.bench_ref * 1.10),
+        }
     record["ok"] = bool(
         rc_a == 0
         and rc_b == 0

@@ -18,6 +18,9 @@ from tests.test_data import _tiny_tokenizer
 from tests.torch_ref_unet import RefUNet
 from tests.torch_ref_vae import RefVAE
 
+# e2e CLI drives (minutes each): slow tier
+pytestmark = pytest.mark.slow
+
 
 def _make_checkpoint(tmp_path):
     from transformers import CLIPTextConfig as HFTextConfig

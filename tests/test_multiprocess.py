@@ -21,6 +21,10 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
+
+# spawns jax.distributed subprocesses (minutes): slow tier
+pytestmark = pytest.mark.slow
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "multiprocess_worker.py")

@@ -128,6 +128,7 @@ def test_face_weight_scale_scales_exactly_the_face_term():
     assert losses[3.0] - losses[1.0] == pytest.approx(expected_delta, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_train_cli_fused_face_accum(tmp_path):
     """e2e: --fuse_face_accum with accumulation runs the dual-program
     schedule (noface micro-steps + a window-final wide face micro-step) and

@@ -15,6 +15,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# convergence-order / cross-family numerical studies (minutes): slow tier
+pytestmark = pytest.mark.slow
+
 from photoverse_tpu.core import (
     DPMSolverMultistep,
     SCHEDULER_NAMES,
