@@ -60,7 +60,6 @@ import numpy as np
 from photoverse_tpu.utils.platform import DEFAULT_CACHE_DIR, enable_compilation_cache
 
 enable_compilation_cache(os.environ.get("PHOTOVERSE_COMPILE_CACHE", DEFAULT_CACHE_DIR))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_TORCH_REFERENCE_IMGS_PER_SEC = 0.4  # BASELINE.md analytic derivation
 A100_OPTIMIZED_DIFFUSERS_IMGS_PER_SEC = 1.0  # conservative comparison

@@ -171,9 +171,11 @@ def main():
                     choices=["bf16", "no"],
                     help="canonical recipe arm is bf16 (VERDICT r4 weak #2: "
                          "the r04 soak ran the f32 default)")
-    ap.add_argument("--fuse_face_accum", action="store_true",
-                    help="run the fused face-accumulation schedule "
-                         "(include when the A/B adopted it for the recipe)")
+    ap.add_argument("--fuse_face_accum", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="run the fused face-accumulation schedule (default on: "
+                         "the round-5 A/B adopted it into --recipe canonical; "
+                         "--no-fuse_face_accum reproduces the unfused r4 arm)")
     ap.add_argument("--bench_ref", type=float, default=None,
                     help="isolated sec/optimizer-step from "
                          "scripts/bench_train_face.py for the same arm; "
@@ -337,7 +339,7 @@ def main():
 
 
 def _write(record):
-    out = getattr(_write, "path", os.path.join(REPO, "TRAIN_SOAK_r04.json"))
+    out = getattr(_write, "path", os.path.join(REPO, "TRAIN_SOAK_r05.json"))
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
     print(json.dumps({k: record[k] for k in ("ok",) if k in record}))
