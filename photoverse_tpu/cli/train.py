@@ -54,8 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--recipe", type=str, default=None,
                    choices=sorted(RECIPE_PRESETS),
                    help="Apply a measured-best preset as flag DEFAULTS "
-                        "(explicit flags still override). 'canonical' = the "
-                        "reference 40k recipe with every adopted TPU knob")
+                        "(explicit flags still override; preset booleans "
+                        "are disabled with their --no-* forms, e.g. "
+                        "--no-flash_attention). 'canonical' = the reference "
+                        "40k recipe with every adopted TPU knob")
     p.add_argument("--pretrained_model_name_or_path", type=str,
                    default="runwayml/stable-diffusion-v1-5",
                    help="Local diffusers-layout SD checkpoint directory")
@@ -87,7 +89,8 @@ def parse_args(argv=None):
     p.add_argument("--image_encoder_layers_idx", nargs="+", type=int,
                    default=[4, 8, 12, 16])
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
-    p.add_argument("--auto_grad_accum", action="store_true",
+    p.add_argument("--auto_grad_accum", action=argparse.BooleanOptionalAction,
+                   default=False,
                    help="When the per-chip micro-batch would exceed "
                         "--max_microbatch_per_chip (v5e-16GB fits ~8 at "
                         "512px), automatically split the train batch into "
@@ -98,7 +101,8 @@ def parse_args(argv=None):
     p.add_argument("--guidance_scale", type=float, default=2.0)
     p.add_argument("--num_of_samples_to_save", type=int, default=4)
     p.add_argument("--save_samples_with_various_prompts", action="store_true")
-    p.add_argument("--use_random_prompts", action="store_true")
+    p.add_argument("--use_random_prompts", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--push_to_hub", action="store_true")
     p.add_argument("--hub_token", type=str, default=None)
     p.add_argument("--hub_model_id", type=str, default=None)
@@ -114,7 +118,8 @@ def parse_args(argv=None):
                         "weights anyway (testing only; the identity loss is "
                         "meaningless without pretrained weights)")
     p.add_argument("--face_loss_sample_ratio", type=float, default=0.25)
-    p.add_argument("--fuse_face_accum", action="store_true",
+    p.add_argument("--fuse_face_accum", action=argparse.BooleanOptionalAction,
+                   default=False,
                    help="With gradient accumulation, run the face-loss "
                         "inner generation only on the LAST micro-step of "
                         "each window, on an accum-x wider face sub-batch "
@@ -122,7 +127,8 @@ def parse_args(argv=None):
                         "(MultiSteps averages the window) at half the "
                         "weight-read-bound inner UNet dispatches "
                         "(engine/training.py face_weight_scale)")
-    p.add_argument("--use_lora", action="store_true")
+    p.add_argument("--use_lora", action=argparse.BooleanOptionalAction,
+                   default=False)
     p.add_argument("--lora_alpha", type=float, default=1)
     p.add_argument("--lora_dropout", type=float, default=0.1)
     p.add_argument("--lora_rank", type=int, default=8)
@@ -139,7 +145,8 @@ def parse_args(argv=None):
                    help="native: msgpack with optimizer state (full resume); "
                         "pt: reference-format photoverse_{step}.pt "
                         "(modeling_utils.py:29-50, torch-loadable); both")
-    p.add_argument("--async_checkpointing", action="store_true",
+    p.add_argument("--async_checkpointing", action=argparse.BooleanOptionalAction,
+                   default=False,
                    help="Write checkpoints on a background thread so the "
                         "train step never waits on checkpoint I/O")
     p.add_argument("--shard_optimizer_state", action="store_true",
@@ -159,9 +166,11 @@ def parse_args(argv=None):
                         "num_heads (8 for SD-1.5). --flash_attention stays "
                         "available through its shard_map wrapper "
                         "(parallel/flash.py); --fused_blocks is not")
-    p.add_argument("--flash_attention", action="store_true",
+    p.add_argument("--flash_attention", action=argparse.BooleanOptionalAction,
+                   default=False,
                    help="Pallas flash self-attention (exact; TPU fast path)")
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction,
+                   default=False,
                    help="Rematerialize UNet blocks and (with --face_loss) "
                         "the VAE decoder (activation checkpointing); "
                         "required at 512px on 16 GB chips")

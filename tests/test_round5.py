@@ -47,6 +47,25 @@ def test_recipe_explicit_flags_override_preset():
     assert args.mixed_precision == "bf16" and args.fuse_face_accum
 
 
+def test_recipe_boolean_knobs_disable_with_no_forms():
+    """The preset's boolean knobs must be individually disablable from the
+    command line (the documented 'explicit flags still override' contract
+    was unsatisfiable for store_true booleans — round-5 review finding)."""
+    from photoverse_tpu.cli.train import parse_args
+
+    args = parse_args([
+        "--recipe", "canonical", "--data_root_path", "x",
+        "--no-flash_attention", "--no-async_checkpointing",
+        "--no-auto_grad_accum",
+    ])
+    assert not args.flash_attention
+    assert not args.async_checkpointing
+    assert not args.auto_grad_accum
+    # the rest of the preset is untouched
+    assert args.remat and args.use_lora and args.fuse_face_accum
+    assert args.mixed_precision == "bf16"
+
+
 def test_no_recipe_keeps_reference_defaults():
     """Without --recipe the flag surface keeps the reference defaults
     (train.py:37-285) — the preset must not leak into them."""
