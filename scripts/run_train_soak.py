@@ -183,6 +183,11 @@ def main():
     ap.add_argument("--lora_rank", type=int, default=128)
     ap.add_argument("--resolution", type=int, default=512)
     ap.add_argument("--phase_timeout", type=int, default=3600)
+    ap.add_argument("--phase_a_attempts", type=int, default=3,
+                    help="Retry phase A when it dies BEFORE logging any "
+                         "step (a compile-service infra failure — e.g. the "
+                         "round-5 tpu_compile_helper SIGKILL — not a "
+                         "training failure; there is no state to lose)")
     ap.add_argument("--tiny", action="store_true",
                     help="CPU dress rehearsal against a tiny fixture dir "
                          "(--sd/--ds point at it; adds --cpu + tiny layer idx)")
@@ -220,9 +225,18 @@ def main():
     )
 
     t0 = time.time()
-    rows_a, rc_a, killed_at = run_phase_a(args, run_a)
+    attempts = []
+    for attempt in range(1, max(1, args.phase_a_attempts) + 1):
+        rows_a, rc_a, killed_at = run_phase_a(args, run_a)
+        attempts.append({"attempt": attempt, "rc": rc_a,
+                         "steps_logged": len(rows_a)})
+        if rows_a or rc_a == 0:
+            break
+        note(f"phase A attempt {attempt} died before the first step "
+             f"(rc={rc_a}) — compile-infra retry")
     record["phaseA"] = {
         "rc": rc_a,
+        "attempts": attempts,
         "killed_at_step": killed_at,
         "steps_logged": len(rows_a),
         "last_step": rows_a[-1]["step"] if rows_a else None,
