@@ -137,6 +137,13 @@ def parse_args(argv=None):
     p.add_argument("--native_loader", action="store_true",
                    help="Use the C++ batch data loader (plain and masked "
                         "datasets; native/dataloader.cc)")
+    p.add_argument("--uint8_transfer", action=argparse.BooleanOptionalAction,
+                   default=False,
+                   help="Ship training pixels host->device as raw uint8 "
+                        "crops and normalize on device (4x fewer transfer "
+                        "bytes per batch; numerically exact — PIL resize "
+                        "already emits uint8). Not supported with "
+                        "--native_loader")
     p.add_argument("--resume_from", type=str, default=None,
                    help="Native .msgpack checkpoint to fully resume from "
                         "(weights + optimizer state + global step)")
@@ -202,6 +209,11 @@ def check_args(args):
         raise ValueError(
             "The image encoder extra tokens layers cant be the last layer "
             "since we always use the last layer"
+        )
+    if getattr(args, "uint8_transfer", False) and args.native_loader:
+        raise ValueError(
+            "--uint8_transfer is not supported with --native_loader (the "
+            "C++ loader emits normalized float32 batches); drop one of them"
         )
 
 
@@ -416,6 +428,7 @@ def main(argv=None):
         use_random_templates=args.use_random_prompts, seed=seed,
         img_subfolder=args.img_subfolder,
         clip_size=modules.vision_encoder.config.image_size,
+        uint8_pixels=args.uint8_transfer,
     )
     if args.mask_subfolder is None:
         dataset = CustomDataset(args.data_root_path, **ds_kw)
@@ -872,6 +885,20 @@ def _save_samples(
     canonical batch<=16 recipes this IS the full batch, and the metric is
     over the same rows either way."""
     from photoverse_tpu.data.prompts import EVAL_PROMPTS
+
+    if batch["pixel_values"].dtype == np.uint8:
+        # --uint8_transfer batches defer normalization to the device; the
+        # sampling path (and the PIL grid below) wants the normalized
+        # float host views, so convert here (host numpy — rare boundary)
+        from photoverse_tpu.data.preprocessing import CLIP_MEAN, CLIP_STD
+
+        batch = dict(batch)
+        batch["pixel_values"] = (
+            batch["pixel_values"].astype(np.float32) / 127.5 - 1.0
+        )
+        batch["pixel_values_clip"] = (
+            batch["pixel_values_clip"].astype(np.float32) / 255.0 - CLIP_MEAN
+        ) / CLIP_STD
 
     B = min(batch["pixel_values"].shape[0], 16)
     n = min(args.num_of_samples_to_save, B)

@@ -24,7 +24,9 @@ from PIL import Image
 from photoverse_tpu.data.preprocessing import (
     apply_mask_and_crop,
     clip_preprocess,
+    clip_preprocess_u8,
     preprocess_image,
+    preprocess_image_u8,
 )
 from photoverse_tpu.data.prompts import (
     IMAGENET_TEMPLATES_SMALL,
@@ -68,11 +70,17 @@ class CustomDataset:
         use_random_templates: bool = False,
         seed: int = 0,
         clip_size: int = 224,
+        uint8_pixels: bool = False,
     ):
         self.tokenizer = tokenizer
         self.size = size
         self.clip_size = clip_size
         self.interpolation = interpolation
+        # uint8_pixels: emit uint8 crops and defer normalization to the
+        # device (engine.training.normalize_pixel_batch) — 4x fewer
+        # host->device bytes per batch, numerically exact (PIL resize
+        # already emits uint8; see data/preprocessing.py)
+        self.uint8_pixels = uint8_pixels
         self.placeholder_token = placeholder_token
         self.template = template
         self.use_random_templates = use_random_templates
@@ -103,8 +111,16 @@ class CustomDataset:
         raw = Image.open(self.image_paths[idx])
         if raw.mode != "RGB":
             raw = raw.convert("RGB")
-        example["pixel_values"] = preprocess_image(raw, self.size, self.interpolation)
-        example["pixel_values_clip"] = clip_preprocess(raw, self.clip_size)
+        if self.uint8_pixels:
+            example["pixel_values"] = preprocess_image_u8(
+                raw, self.size, self.interpolation
+            )
+            example["pixel_values_clip"] = clip_preprocess_u8(raw, self.clip_size)
+        else:
+            example["pixel_values"] = preprocess_image(
+                raw, self.size, self.interpolation
+            )
+            example["pixel_values_clip"] = clip_preprocess(raw, self.clip_size)
         return example
 
 
@@ -125,18 +141,35 @@ class CustomDatasetWithMasks(CustomDataset):
         if raw.mode != "RGB":
             raw = raw.convert("RGB")
         face_crop = apply_mask_and_crop(raw, mask)
-        example["pixel_values"] = preprocess_image(raw, self.size, self.interpolation)
-        example["pixel_values_clip"] = clip_preprocess(face_crop, self.clip_size)
+        if self.uint8_pixels:
+            example["pixel_values"] = preprocess_image_u8(
+                raw, self.size, self.interpolation
+            )
+            example["pixel_values_clip"] = clip_preprocess_u8(
+                face_crop, self.clip_size
+            )
+        else:
+            example["pixel_values"] = preprocess_image(
+                raw, self.size, self.interpolation
+            )
+            example["pixel_values_clip"] = clip_preprocess(face_crop, self.clip_size)
         return example
+
+
+def _stack_pixels(arrs: List[np.ndarray]) -> np.ndarray:
+    """Stack, keeping uint8 batches uint8 (the deferred-normalization
+    transfer path) and casting everything else to float32 as before."""
+    out = np.stack(arrs)
+    return out if out.dtype == np.uint8 else out.astype(np.float32)
 
 
 def collate_fn(batch: List[Dict]) -> Dict:
     """Stack per-example dicts (reference datasets/custom.py:176-189)."""
     return {
-        "pixel_values": np.stack([e["pixel_values"] for e in batch]).astype(np.float32),
-        "pixel_values_clip": np.stack(
+        "pixel_values": _stack_pixels([e["pixel_values"] for e in batch]),
+        "pixel_values_clip": _stack_pixels(
             [e["pixel_values_clip"] for e in batch]
-        ).astype(np.float32),
+        ),
         "text_input_ids": np.concatenate(
             [np.asarray(e["text_input_ids"]).reshape(1, -1) for e in batch]
         ).astype(np.int32),

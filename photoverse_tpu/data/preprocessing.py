@@ -22,6 +22,8 @@ __all__ = [
     "CLIP_STD",
     "preprocess_image",
     "clip_preprocess",
+    "preprocess_image_u8",
+    "clip_preprocess_u8",
     "crop_to_mask_and_scale",
     "apply_mask_and_crop",
 ]
@@ -66,6 +68,35 @@ def preprocess_image(
     arr = np.asarray(img, dtype=np.float32) / 255.0
     arr = _center_crop(arr, size)
     return arr * 2.0 - 1.0
+
+
+def preprocess_image_u8(
+    raw_image: Image.Image, size: int = 512, interpolation: str = "bicubic"
+) -> np.ndarray:
+    """PIL -> (size, size, 3) uint8 — the VAE crop BEFORE normalization.
+
+    Exact, not lossy: PIL's RGB resize emits uint8, so the float32 pipeline
+    (preprocess_image) quantizes through the very same uint8 array before
+    its /255*2-1. Shipping the uint8 crop moves the normalization onto the
+    device (engine.training.normalize_pixel_batch) and cuts host->device
+    batch bytes 4x — the train loop's dominant overhead on hosts where the
+    device link is the bottleneck (PERFORMANCE.md round 5)."""
+    if raw_image.mode != "RGB":
+        raw_image = raw_image.convert("RGB")
+    img = _resize_shortest(raw_image, size, interpolation)
+    return _center_crop(np.asarray(img, dtype=np.uint8), size)
+
+
+def clip_preprocess_u8(image, size: int = 224) -> np.ndarray:
+    """PIL image or (H, W, 3) uint8 array -> (size, size, 3) uint8 CLIP crop
+    (CLIP mean/std normalization deferred to the device — see
+    preprocess_image_u8)."""
+    if isinstance(image, np.ndarray):
+        image = Image.fromarray(image.astype(np.uint8))
+    if image.mode != "RGB":
+        image = image.convert("RGB")
+    img = _resize_shortest(image, size, "bicubic")
+    return _center_crop(np.asarray(img, dtype=np.uint8), size)
 
 
 def clip_preprocess(image, size: int = 224) -> np.ndarray:

@@ -37,7 +37,37 @@ from photoverse_tpu.core.schedulers import DPMSolverMultistep
 from photoverse_tpu.engine.inference import denoise, encode_condition
 from photoverse_tpu.models.assembly import PhotoVerseModules, PhotoVerseParams
 
-__all__ = ["TrainConfig", "make_optimizer", "make_train_step", "clip_groups"]
+__all__ = [
+    "TrainConfig",
+    "make_optimizer",
+    "make_train_step",
+    "clip_groups",
+    "normalize_pixel_batch",
+]
+
+
+def normalize_pixel_batch(batch: Dict) -> Dict:
+    """Normalize uint8-transferred pixel batches ON DEVICE.
+
+    The uint8 transfer path (--uint8_transfer; data/preprocessing.py
+    *_u8) ships raw uint8 crops — 4x fewer host->device bytes — and
+    defers the normalization here: VAE keys to [-1,1], CLIP keys through
+    CLIP mean/std. Exact vs the float32 host pipeline because PIL's RGB
+    resize already emits uint8 before the host would have normalized.
+    Float inputs pass through untouched (dtype is static under jit, so
+    the flag-off path traces to the identical HLO as before)."""
+    from photoverse_tpu.data.preprocessing import CLIP_MEAN, CLIP_STD
+
+    out = dict(batch)
+    for k in ("pixel_values", "face_pixel_values"):
+        if k in out and out[k].dtype == jnp.uint8:
+            out[k] = out[k].astype(jnp.float32) / 127.5 - 1.0
+    for k in ("pixel_values_clip", "face_pixel_values_clip"):
+        if k in out and out[k].dtype == jnp.uint8:
+            out[k] = (
+                out[k].astype(jnp.float32) / 255.0 - jnp.asarray(CLIP_MEAN)
+            ) / jnp.asarray(CLIP_STD)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -300,6 +330,7 @@ def make_train_step(
         return face_loss_fn(params, fpx, gen)
 
     def train_step(trainable, frozen, opt_state, batch, rng):
+        batch = normalize_pixel_batch(batch)  # no-op HLO for float batches
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable, frozen, batch, rng
         )
