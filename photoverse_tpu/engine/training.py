@@ -271,8 +271,19 @@ def make_train_step(
             + cfg.visual_reg_weight * visual_reg
             + cfg.face_loss_weight * face_weight_scale * floss
         )
+        # the OPTIMIZED objective carries face_weight_scale (the fused
+        # schedule's window reweighting); the REPORTED total uses the
+        # unscaled face term so 'loss' is comparable across schedules —
+        # loss_face below is likewise unscaled. With the default scale of
+        # 1.0 the two are the same expression.
+        reported = (
+            diffusion_loss
+            + cfg.concept_reg_weight * concept_reg
+            + cfg.visual_reg_weight * visual_reg
+            + cfg.face_loss_weight * floss
+        )
         metrics = {
-            "loss": total,
+            "loss": reported,
             "loss_mle": diffusion_loss,
             "loss_reg_concept_text": concept_reg,
             "loss_reg_cross_attn_visual": visual_reg,
