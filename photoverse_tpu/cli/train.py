@@ -23,8 +23,9 @@ import numpy as np
 # 40k steps, batch 16, LoRA 128, arcface, lr 1e-5) plus every knob this
 # repo's A/Bs adopted for it: bf16 compute (+8.4%), flash attention + remat
 # (required at 512px/16GB), auto grad accumulation (OOM-free effective
-# batch 16), async checkpointing, and the fused face-accumulation schedule
-# (PERFORMANCE.md round-5 A/B). Pass --face_model_weights (or
+# batch 16), async checkpointing, the fused face-accumulation schedule
+# (+12.3%), and uint8 pixel transfer (+28.9% on the real loop — both
+# PERFORMANCE.md round-5 A/Bs). Pass --face_model_weights (or
 # --allow_random_face_model for smoke tests) alongside.
 RECIPE_PRESETS = {
     "canonical": dict(
@@ -45,6 +46,7 @@ RECIPE_PRESETS = {
         fuse_face_accum=True,
         async_checkpointing=True,
         use_random_prompts=True,
+        uint8_transfer=True,
     ),
 }
 
@@ -213,7 +215,8 @@ def check_args(args):
     if getattr(args, "uint8_transfer", False) and args.native_loader:
         raise ValueError(
             "--uint8_transfer is not supported with --native_loader (the "
-            "C++ loader emits normalized float32 batches); drop one of them"
+            "C++ loader emits normalized float32 batches); drop one of "
+            "them (--recipe canonical users: pass --no-uint8_transfer)"
         )
 
 

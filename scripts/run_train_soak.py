@@ -97,7 +97,7 @@ def train_cmd(args, out_dir, resume_from=None):
     if args.tiny:
         cmd += ["--cpu", "--image_encoder_layers_idx", "1", "2", "3", "4"]
     else:
-        cmd += ["--flash_attention", "--remat"]
+        cmd += ["--flash_attention", "--remat", "--uint8_transfer"]
     if args.mixed_precision != "no":
         cmd += ["--mixed_precision", args.mixed_precision]
     if args.fuse_face_accum:

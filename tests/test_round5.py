@@ -20,6 +20,7 @@ def test_recipe_canonical_composition():
     args = parse_args(["--recipe", "canonical", "--data_root_path", "x"])
     assert args.mixed_precision == "bf16"
     assert args.flash_attention and args.remat
+    assert args.uint8_transfer
     assert args.use_lora and args.lora_rank == 128
     assert args.lora_alpha == 1.0 and args.lora_dropout == 0.1
     assert args.learning_rate == 1e-5
