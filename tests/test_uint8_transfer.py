@@ -126,6 +126,66 @@ def test_train_step_identical_loss_under_uint8_batch():
         assert abs(float(m8[k]) - float(mf[k])) < 1e-5, k
 
 
+def test_uint8_batch_shards_over_the_data_mesh():
+    """uint8 batches must shard and train under SPMD exactly like f32 ones
+    (the device-side normalize sits inside the jitted step, after the
+    sharded transfer): same loss as the replicated single-device step."""
+    import jax
+    import jax.numpy as jnp
+
+    from photoverse_tpu.engine.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from photoverse_tpu.parallel.mesh import (
+        batch_sharding,
+        make_mesh,
+        replicated,
+        shard_batch,
+    )
+
+    modules, params = tiny_bundle(seed=5)
+    cfg = TrainConfig(max_train_steps=4, lr_warmup_steps=0)
+    tx, _ = make_optimizer(cfg)
+    trainable, frozen, opt_state = init_train_state(modules, params, tx)
+    step = make_train_step(modules, cfg, tx)
+
+    rng = np.random.RandomState(2)
+    B = 8
+    batch = {
+        "pixel_values": (rng.rand(B, RES, RES, 3) * 255).astype(np.uint8),
+        "pixel_values_clip": (rng.rand(B, 16, 16, 3) * 255).astype(np.uint8),
+        "text_input_ids": rng.randint(0, VOCAB, (B, SEQ)).astype(np.int32),
+        "concept_placeholder_idx": np.full((B,), 3, np.int32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    mesh = make_mesh(8)
+    repl = replicated(mesh)
+    put = lambda t: jax.tree.map(lambda x: jax.device_put(x, repl), t)
+    jstep = jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, batch_sharding(mesh), repl),
+        out_shardings=(repl, repl, repl),
+    )
+    dev_batch = shard_batch(mesh, batch)
+    assert dev_batch["pixel_values"].dtype == jnp.uint8
+    _, _, m_sharded = jstep(
+        put(trainable), put(frozen), put(opt_state), dev_batch, key
+    )
+
+    jstep1 = jax.jit(step)
+    _, _, m_single = jstep1(
+        trainable, frozen, opt_state,
+        {k: jnp.asarray(v) for k, v in batch.items()}, key,
+    )
+    assert float(m_sharded["loss"]) == pytest.approx(
+        float(m_single["loss"]), rel=2e-5
+    )
+
+
 def test_uint8_transfer_refused_with_native_loader(tmp_path):
     from photoverse_tpu.cli.train import check_args, parse_args
 
